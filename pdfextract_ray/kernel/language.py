@@ -1,0 +1,94 @@
+"""Content scalar features over strings.
+
+Parity with ``lib/pdf/extract/language.rb``: transliteration table,
+letter/cap/year ratios, word count. Division semantics follow Ruby float
+division (``x / 0.0`` → inf, ``0 / 0.0`` → NaN) because downstream scoring
+(spatial.rb:160) special-cases NaN diffs.
+
+``name_ratio`` (language.rb:74) is gazetteer-backed and lives in
+:mod:`pdfextract_ray.kernel.names` — it needs per-actor state.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TRANSLIT = {
+    # Remove ligatures (language.rb:10-18)
+    "ﬀ": "ff",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+    "ﬃ": "ffi",
+    "ﬄ": "ffl",
+    "ﬅ": "ft",
+    "ﬆ": "st",
+    "ᵫ": "ue",
+    # Normalise some punctuation (language.rb:20-29)
+    "‘": "'",
+    "’": "'",
+    "–": "-",
+    "—": "-",
+    "“": '"',
+    "”": '"',
+    "▯": "(",
+    "´": "",
+    "±": "-",
+}
+
+_WS_RE = re.compile(r"\s+")
+# Ruby `count("A-Z0-9\-[],.\"'()")` char set (language.rb:40-42)
+_LETTER_SET = frozenset(
+    [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+    + [chr(c) for c in range(ord("0"), ord("9") + 1)]
+    + ["-", "[", "]", ",", ".", '"', "'", "(", ")"]
+)
+_YEAR_RE = re.compile(r"[^\d]\d{4}[^\d]")
+
+
+def _ruby_div(num: float, den: float) -> float:
+    if den == 0:
+        return float("nan") if num == 0 else float("inf")
+    return num / den
+
+
+def transliterate(s: str) -> str:
+    # language.rb:5-38 — per-char mapping then whitespace collapse (no strip).
+    out = []
+    for c in s:
+        out.append(_TRANSLIT.get(c, c))
+    return _WS_RE.sub(" ", "".join(out))
+
+
+def letter_ratio(s: str) -> float:
+    # language.rb:40-42
+    n = sum(1 for c in s if c in _LETTER_SET)
+    return _ruby_div(n, float(len(s)))
+
+
+def cap_ratio(s: str) -> float:
+    # language.rb:45-61 — caps not at sentence start, per word.
+    sentence_end = True
+    cap_count = 0
+    for c in s:
+        if c == ".":
+            sentence_end = True
+        elif "A" <= c <= "Z":
+            if not sentence_end:
+                cap_count += 1
+            sentence_end = False
+        elif not c.isspace():
+            sentence_end = False
+    return _ruby_div(cap_count, float(len(s.split())))
+
+
+def year_ratio(s: str) -> float:
+    # language.rb:63-71 — words containing a 4-digit run flanked by
+    # non-digits WITHIN the word (so "(2004)" counts, bare "2004" doesn't).
+    words = s.split()
+    n = sum(1 for w in words if _YEAR_RE.search(w))
+    return _ruby_div(n, float(len(words)))
+
+
+def word_count(s: str) -> int:
+    # language.rb:77-79
+    return len(s.split())

@@ -1,0 +1,273 @@
+"""Deterministic HTML layout front-end: html bytes → positioned glyph tokens.
+
+This is the webtext analogue of the reference's PDF content-stream
+interpreter + font metrics (``lib/pdf/extract/model/characters.rb:139-343``,
+``lib/pdf/extract/font_metrics.rb:28-67``): it turns one page payload into
+the same token record shape the downstream geometric stages consume —
+``{x, y, width, height, line_height, content (1 glyph), page, font,
+page_width, page_height}`` (characters.rb:102-113) — using a fixed
+per-tag font/line-height metrics table (the AFM-table analogue) and a
+deterministic greedy line-wrap + pagination model.
+
+Geometry is PDF-points-like: 612×792 page, origin bottom-left, y grows
+upward (titles must sit in the top half of the page,
+``analysis/titles.rb:26``). ``<header>``/``<footer>`` elements become
+per-page furniture strips (the repeated site chrome the zone stage later
+classifies as header/footer and strips); body blocks flow into
+``data-columns`` columns with greedy word wrap and deterministic
+hyphenation (exercising the hyphen-elision path of
+``Spatial.get_text_content``, spatial.rb:98-112).
+
+The layout model is intentionally simple but total: unknown tags get
+default paragraph metrics, scripts/styles/head are skipped, entity refs
+decode via html.parser.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+PAGE_WIDTH = 612.0
+PAGE_HEIGHT = 792.0
+CONTENT_X0 = 72.0
+CONTENT_X1 = 540.0
+CONTENT_TOP = 736.0
+CONTENT_BOTTOM = 56.0
+HEADER_TOKEN_Y = 768.0   # header glyph box bottom (top 776)
+FOOTER_TOKEN_Y = 16.0    # footer glyph box bottom (top 24)
+COLUMN_GUTTER = 24.0
+HANG_INDENT = 18.0
+CHAR_RATIO = 0.5         # glyph advance = CHAR_RATIO * font_size
+
+# tag → (font name, font size, line height) — the FontMetrics analogue.
+TAG_METRICS: dict[str, tuple[str, float, float]] = {
+    "h1": ("SerifBold", 22.0, 26.4),
+    "h2": ("SerifBold", 14.0, 16.8),
+    "h3": ("SerifBold", 12.0, 14.4),
+    "h4": ("SerifBold", 11.0, 13.2),
+    "p": ("Serif", 10.0, 12.0),
+    "li": ("Serif", 10.0, 12.0),
+    "div": ("Serif", 10.0, 12.0),
+    "blockquote": ("SerifItalic", 10.0, 12.0),
+    "pre": ("Mono", 9.0, 10.8),
+    "header": ("Sans", 8.0, 9.6),
+    "footer": ("Sans", 8.0, 9.6),
+}
+DEFAULT_METRICS = TAG_METRICS["p"]
+
+# vertical gap appended after a block (before the next block's first line)
+TAG_GAP = {"h1": 14.0, "h2": 12.0, "h3": 10.0, "h4": 10.0}
+DEFAULT_GAP = 10.0
+CLASS_GAP = {"tight": 6.0, "hang": 0.0}
+
+BLOCK_TAGS = frozenset(TAG_METRICS) | {"h5", "h6", "td", "th", "caption", "figcaption", "dt", "dd"}
+SKIP_TAGS = frozenset({"script", "style", "head", "title", "noscript", "svg", "template"})
+FURNITURE_TAGS = frozenset({"header", "footer"})
+
+
+class _BlockCollector(HTMLParser):
+    """Flatten HTML into an ordered list of text blocks.
+
+    Produces ``{"tag", "classes", "text"}`` dicts in document order;
+    ``<header>``/``<footer>`` subtree blocks are routed to furniture
+    lists. Inline markup is stripped (text accumulates into the enclosing
+    block); bare text outside any block opens an implicit ``<p>``.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.body_blocks: list[dict] = []
+        self.header_blocks: list[dict] = []
+        self.footer_blocks: list[dict] = []
+        self.columns = 1
+        self._skip_depth = 0
+        self._furniture: str | None = None
+        self._cur: dict | None = None
+
+    def _flush(self) -> None:
+        cur = self._cur
+        if cur is not None and cur["text"].split():
+            if self._furniture == "header":
+                self.header_blocks.append(cur)
+            elif self._furniture == "footer":
+                self.footer_blocks.append(cur)
+            else:
+                self.body_blocks.append(cur)
+        self._cur = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        attrs = dict(attrs)
+        if tag == "body":
+            try:
+                self.columns = max(1, int(attrs.get("data-columns", 1)))
+            except (TypeError, ValueError):
+                self.columns = 1
+            return
+        if tag in FURNITURE_TAGS:
+            self._flush()
+            self._furniture = tag
+        if tag in BLOCK_TAGS:
+            self._flush()
+            classes = tuple((attrs.get("class") or "").split())
+            self._cur = {"tag": tag, "classes": classes, "text": ""}
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in FURNITURE_TAGS:
+            self._furniture = None
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._cur is None:
+            if not data.split():
+                return
+            self._cur = {"tag": "p", "classes": (), "text": ""}
+        self._cur["text"] += data
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> _BlockCollector:
+    c = _BlockCollector()
+    c.feed(html)
+    c.close()
+    return c
+
+
+def _wrap_words(words: list[str], width: float, cont_width: float,
+                char_w: float, space_w: float) -> list[list[str]]:
+    """Greedy wrap into lines of word strings; oversized words hyphenate
+    deterministically (split to fit, trailing '-')."""
+    lines: list[list[str]] = []
+    cur: list[str] = []
+    budget = width
+    used = 0.0
+    i = 0
+    words = list(words)
+    while i < len(words):
+        w = words[i]
+        w_width = len(w) * char_w
+        need = w_width if not cur else w_width + space_w
+        if used + need <= budget:
+            cur.append(w)
+            used += need
+            i += 1
+        elif not cur:
+            # oversized word on an empty line → hyphenate to fit
+            avail = budget - used
+            fit = max(1, int(avail / char_w) - 1)
+            if fit >= len(w):
+                fit = len(w) - 1
+            head, tail = w[:fit] + "-", w[fit:]
+            lines.append([head])
+            words[i] = tail
+            cur = []
+            used = 0.0
+            budget = cont_width
+        else:
+            lines.append(cur)
+            cur = []
+            used = 0.0
+            budget = cont_width
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+def _emit_line(tokens: list[dict], words: list[str], x0: float, y: float,
+               font: str, size: float, line_height: float, page: int) -> None:
+    char_w = CHAR_RATIO * size
+    x = x0
+    for wi, word in enumerate(words):
+        if wi:
+            x += char_w  # inter-word space advance (no glyph emitted)
+        for ch in word:
+            tokens.append({
+                "x": x, "y": y, "width": char_w, "height": size,
+                "line_height": line_height, "content": ch, "page": page,
+                "font": font, "page_width": PAGE_WIDTH, "page_height": PAGE_HEIGHT,
+            })
+            x += char_w
+
+
+def tokenize(html: str | bytes) -> list[dict]:
+    """Render one HTML payload into positioned glyph tokens."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    doc = parse_blocks(html)
+
+    n_cols = doc.columns
+    col_width = (CONTENT_X1 - CONTENT_X0 - COLUMN_GUTTER * (n_cols - 1)) / n_cols
+    col_x = [CONTENT_X0 + i * (col_width + COLUMN_GUTTER) for i in range(n_cols)]
+
+    tokens: list[dict] = []
+    page = 1
+    col = 0
+    y_cursor = CONTENT_TOP
+    at_column_top = True
+    prev_classes: tuple | None = None
+
+    def emit_furniture(p: int) -> None:
+        for block, y in ((doc.header_blocks, HEADER_TOKEN_Y),
+                         (doc.footer_blocks, FOOTER_TOKEN_Y)):
+            for b in block[:1]:  # one furniture line per strip
+                font, size, lh = TAG_METRICS[b["tag"]] if b["tag"] in FURNITURE_TAGS \
+                    else TAG_METRICS["header"]
+                _emit_line(tokens, b["text"].split(), CONTENT_X0, y, font, size, lh, p)
+
+    emit_furniture(page)
+
+    for block in doc.body_blocks:
+        tag = block["tag"]
+        font, size, lh = TAG_METRICS.get(tag, DEFAULT_METRICS)
+        classes = block["classes"]
+        hang = "hang" in classes
+        # class-based tight gaps apply only BETWEEN consecutive blocks of
+        # the same class (so a heading above a run of hang/tight refs
+        # stays its own region instead of merging into the run)
+        gap = None
+        if prev_classes == classes:
+            for cls in classes:
+                if cls in CLASS_GAP:
+                    gap = CLASS_GAP[cls]
+                    break
+        if gap is None:
+            gap = TAG_GAP.get(tag, DEFAULT_GAP)
+        prev_classes = classes
+
+        char_w = CHAR_RATIO * size
+        indent = HANG_INDENT if hang else 0.0
+        lines = _wrap_words(block["text"].split(), col_width,
+                            col_width - indent, char_w, char_w)
+
+        if not at_column_top:
+            y_cursor -= gap
+        for li, line_words in enumerate(lines):
+            if y_cursor - lh < CONTENT_BOTTOM:
+                col += 1
+                if col >= n_cols:
+                    page += 1
+                    col = 0
+                    emit_furniture(page)
+                y_cursor = CONTENT_TOP
+            x0 = col_x[col] + (indent if li > 0 else 0.0)
+            token_y = y_cursor - size
+            _emit_line(tokens, line_words, x0, token_y, font, size, lh, page)
+            y_cursor -= lh
+            at_column_top = False
+
+    return tokens

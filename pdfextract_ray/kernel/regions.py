@@ -1,0 +1,95 @@
+"""Chunk → region (paragraph) agglomeration for one page.
+
+Parity with ``lib/pdf/extract/model/regions.rb:45-113``: chunks are
+insertion-sorted ascending by ``y`` (ties insert before equals,
+regions.rb:58-63), converted to single-line regions, then a
+restart-at-1 scan repeatedly merges the bottom region with any chunk
+within ``line_slop·min(line_height, candidate.height)`` vertically whose
+x-range is incident (regions.rb:77-98, incidence regions.rb:15-25).
+Merged line order is top-of-page first (``Spatial.merge(t, b, lines=True)``
+puts t's lines before b's). Output regions carry per-line
+``x_offset/y_offset`` (regions.rb:27-33) and inter-line ``spacing``
+(regions.rb:35-43), line spatial attribs dropped, regions sorted by
+descending ``y`` (regions.rb:111).
+"""
+
+from __future__ import annotations
+
+from pdfextract_ray.kernel import spatial
+from pdfextract_ray.settings import Settings
+
+
+def _incident(l: dict, r: dict) -> bool:
+    # regions.rb:15-25 — closed-interval x-range incidence.
+    lx1, lx2 = l["x"], l["x"] + l["width"]
+    rx1, rx2 = r["x"], r["x"] + r["width"]
+    return (lx1 <= rx1 <= lx2) or (lx1 <= rx2 <= lx2) or (rx1 <= lx1 <= rx2) or (rx1 <= lx2 <= rx2)
+
+
+def _append_line_offsets(region: dict) -> None:
+    # regions.rb:27-33
+    for line in region.setdefault("lines", []):
+        line["x_offset"] = line["x"] - region["x"]
+        line["y_offset"] = line["y"] - region["y"]
+
+
+def _append_line_spacing(region: dict) -> None:
+    # regions.rb:35-43
+    height_taken = 0.0
+    for line in region.setdefault("lines", []):
+        from_top = region["height"] - (line["y_offset"] + line["height"])
+        line["spacing"] = from_top - height_taken
+        height_taken = from_top + line["height"]
+
+
+def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
+    if not page_chunks:
+        return []
+    line_slop_setting = settings.line_slop
+
+    # ascending-y insertion sort, ties before equals (regions.rb:58-63)
+    chunks: list[dict] = []
+    for chunk in page_chunks:
+        y = chunk["y"]
+        idx = next((i for i, obj in enumerate(chunks) if y <= obj["y"]), None)
+        if idx is None:
+            chunks.append(dict(chunk))
+        else:
+            chunks.insert(idx, dict(chunk))
+
+    # chunks become single-line carriers (regions.rb:70-74)
+    for chunk in chunks:
+        chunk["lines"] = [spatial.as_line(chunk)]
+        del chunk["content"]
+
+    regions: list[dict] = []
+    compare_index = 1
+    while len(chunks) > compare_index:
+        b = chunks[0]
+        t = chunks[compare_index]
+
+        line_height = b["line_height"]
+        line_slop = min(line_height, t["height"]) * line_slop_setting
+        incident_y = (b["y"] + b["height"] + line_slop) >= t["y"]
+
+        if incident_y and _incident(t, b):
+            chunks[0] = spatial.merge(t, b, lines=True)
+            del chunks[compare_index]
+            compare_index = 1
+        elif compare_index < len(chunks) - 1:
+            compare_index += 1
+        else:
+            regions.append(chunks[0])
+            del chunks[0]
+            compare_index = 1
+
+    if chunks:
+        regions.append(chunks[0])
+
+    for region in regions:
+        _append_line_offsets(region)
+        _append_line_spacing(region)
+        region["lines"] = [spatial.drop_spatial(line) for line in region["lines"]]
+
+    regions.sort(key=lambda obj: -obj["y"])  # stable, regions.rb:111
+    return regions

@@ -1,0 +1,51 @@
+"""Tunable settings for the extraction kernel.
+
+The reference declares 12 float-coerced tunables via a global registry
+(``lib/pdf/extract/pdf.rb:5-50``); defaults below are taken verbatim from
+the declaration sites (``model/chunks.rb:8-24``, ``model/regions.rb:6-11``,
+``analysis/zones.rb:8-12``, ``analysis/columns.rb:4-14``,
+``analysis/sections.rb:9-13``, ``analysis/titles.rb:6-10``,
+``references/references.rb:8-30``).
+
+A frozen dataclass is closure-captured by batch functions / actor classes;
+Ray serializes it once per task submission, never per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Mapping
+
+
+@dataclass(frozen=True)
+class Settings:
+    # chunks (model/chunks.rb:8-24)
+    char_slop: float = 0.2
+    word_slop: float = 4.0
+    overlap_slop: float = 0.9
+    # regions (model/regions.rb:6-11)
+    line_slop: float = 1.0
+    # zones (analysis/zones.rb:8-12)
+    body_ratio: float = 0.9
+    # columns (analysis/columns.rb:4-14)
+    column_sample_count: float = 8.0
+    max_column_count: float = 3.0
+    # sections (analysis/sections.rb:9-13)
+    width_ratio: float = 0.9
+    # titles (analysis/titles.rb:6-10)
+    title_slop: float = 0.2
+    # references (references/references.rb:8-30)
+    reference_flex: float = 0.2
+    min_sequence_count: float = 3.0
+    max_reference_order: float = 1000.0
+    min_lateness: float = 0.5
+
+    def with_overrides(self, overrides: Mapping[str, Any] | None) -> "Settings":
+        """Reference coerces every override with ``value.to_f``
+        (pdf.rb:29-36); we mirror with float()."""
+        if not overrides:
+            return self
+        return replace(self, **{k: float(v) for k, v in overrides.items()})
+
+
+DEFAULT_SETTINGS = Settings()
