@@ -1,0 +1,107 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+Headline: the flagship extraction pipeline (corpus parquet → ExtractDocs
+actor pool → parquet) over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with corpus repeat factor $BENCH_REPEAT (default 4 ⇒ ~20k pages at
+sf0.1). Corpus generation and an OS-page-cache warm read are untimed
+prep; the timed window is read→extract→write.
+
+`--scaling` runs the headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 over the SAME input and reports the
+throughput at both plus scaling efficiency (the sandbox stand-in for
+the north rule's N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "4"))
+OUT_DIR = "/tmp/pdfx_bench_out"
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pdfextract_ray.pipelines.extract_pipeline import (extract_dataset,
+                                                           read_corpus)
+    from pdfextract_ray.pipelines.queries import build_queries
+    from pdfextract_ray.sources.corpus import ensure_corpus
+
+    # untimed prep: corpus generation (cached) + page-cache warm read
+    corpus = ensure_corpus(SF_DIR, repeat=REPEAT)
+    n_docs = read_corpus(corpus).count()
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+
+    t0 = time.time()
+    out = extract_dataset(read_corpus(corpus))
+    out.write_parquet(OUT_DIR)
+    headline = time.time() - t0
+
+    queries = build_queries()
+    q_times = {}
+    for name in ("q1_pricing", "doc_stats", "dedup_exact", "dedup_minhash",
+                 "knn_cosine", "events_hourly"):
+        tq = time.time()
+        res = queries[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        q_times[name] = round(time.time() - tq, 3)
+
+    result = {
+        "metric": "extract_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": int(n_docs),
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpu, hi_cpu = 8, 32
+    run(lo_cpu)  # warm caches (corpus gen) before timing either level
+    lo = run(lo_cpu)
+    hi = run(hi_cpu)
+    eff = (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_%d" % lo_cpu: lo["value"],
+        "sec_%d" % hi_cpu: hi["value"],
+        "docs_per_sec_%d" % lo_cpu: lo["docs_per_sec"],
+        "docs_per_sec_%d" % hi_cpu: hi["docs_per_sec"],
+        "docs": lo["docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

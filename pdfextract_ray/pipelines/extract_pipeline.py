@@ -1,0 +1,190 @@
+"""Flagship pipeline: corpus parquet → extracted text/refs/spans parquet.
+
+Ray-Data-first shape (SURVEY.md §7):
+
+    read_parquet(shard files, pruned columns)
+      → [optional skew split: oversized html rows routed to batch_size=1]
+      → map_batches(ExtractDocs, concurrency=actor pool)   # the hot stage
+      → write_parquet(out/shard=NNNN/)
+      → read-back pruned counters → partial agg → per-partition metrics
+      → atomic shard manifest                               # resume unit
+
+Design notes for 10^12-doc scale:
+
+- **Resume shard = input-file group.** Membership is decided by which
+  parquet fragments a shard owns, so a resumed run re-reads ONLY
+  unfinished shards (no read amplification, no per-url anti-join).
+  Within a shard, work is fully streaming with backpressure.
+- **Skew**: rows whose ``html`` exceeds ``skew_threshold`` bytes are
+  processed in their own branch with ``batch_size=1`` so one 20 MB page
+  never stalls a 64-row batch (north rule: "skew-aware splitting of
+  oversized rows before the hot tokenize/classify stage"). Both
+  branches share the actor class; the split is a vectorized Arrow
+  filter.
+- **Metrics** aggregate per ``partition_id`` (crc32(url) hash space)
+  from a column-pruned read-back of the freshly written shard —
+  touching 4 int columns, not the text — then a tiny groupby over
+  per-batch partials (pre-aggregation before the shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from pdfextract_ray.settings import DEFAULT_SETTINGS, Settings
+from pdfextract_ray.stages.extract import ExtractDocs
+from pdfextract_ray.state import manifest as mf
+
+CORPUS_COLUMNS = ["url", "warc_ts", "html", "lang"]
+DEFAULT_BATCH_SIZE = 32
+DEFAULT_SKEW_THRESHOLD = 256 * 1024  # bytes of html
+
+
+def corpus_files(corpus_path: str) -> list[str]:
+    if os.path.isfile(corpus_path):
+        return [corpus_path]
+    return sorted(
+        os.path.join(corpus_path, f)
+        for f in os.listdir(corpus_path)
+        if f.endswith(".parquet")
+    )
+
+
+def read_corpus(paths: list[str] | str) -> "ray.data.Dataset":
+    """Column-pruned corpus read (never load the naive ``text`` column)."""
+    return ray.data.read_parquet(paths, columns=CORPUS_COLUMNS)
+
+
+def extract_dataset(ds: "ray.data.Dataset", settings: Settings = DEFAULT_SETTINGS,
+                    num_partitions: int = 64, concurrency: int | tuple | None = None,
+                    batch_size: int = DEFAULT_BATCH_SIZE, with_spans: bool = True,
+                    skew_threshold: int | None = DEFAULT_SKEW_THRESHOLD,
+                    ) -> "ray.data.Dataset":
+    """Attach the extraction stage (actor pool) to a corpus Dataset."""
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    if concurrency is None:
+        # autoscaling actor pool capped below the cluster CPU count — a
+        # pool that reserves every CPU starves the read/write stages and
+        # the pipeline serializes (measured: 8/8 actors on 8 CPUs stalls
+        # the stream; (1, ncpu-2) runs 10x faster on sf0.001)
+        concurrency = (1, max(1, ncpu - 2))
+    elif isinstance(concurrency, int):
+        # a FIXED pool reserves all its CPUs up front; two fixed pools
+        # (skew union) can deadlock a small cluster — always autoscale
+        concurrency = (1, concurrency)
+    kwargs = dict(
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(settings=settings, num_partitions=num_partitions,
+                                   with_spans=with_spans),
+        num_cpus=1,
+        concurrency=concurrency,
+    )
+
+    if not skew_threshold:
+        return ds.map_batches(ExtractDocs, batch_size=batch_size, **kwargs)
+
+    thr = skew_threshold
+    # the oversized branch is the rare path: small autoscaling pool
+    big_kwargs = dict(kwargs)
+    big_kwargs["concurrency"] = (1, max(1, min(concurrency[1], ncpu // 4 or 1)))
+
+    def keep_small(t: pa.Table) -> pa.Table:
+        # null html routes to the small branch (per-row error isolation
+        # happens inside ExtractDocs, not by silently dropping the row)
+        size = pc.fill_null(pc.binary_length(t["html"]), 0)
+        return t.filter(pc.less_equal(size, thr))
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        size = pc.fill_null(pc.binary_length(t["html"]), 0)
+        return t.filter(pc.greater(size, thr))
+
+    small = ds.map_batches(keep_small, batch_format="pyarrow") \
+              .map_batches(ExtractDocs, batch_size=batch_size, **kwargs)
+    big = ds.map_batches(keep_big, batch_format="pyarrow") \
+            .map_batches(ExtractDocs, batch_size=1, **big_kwargs)
+    return small.union(big)
+
+
+def _shard_metrics(shard_dir: str) -> list[dict]:
+    """Per-partition lineage counters from a pruned read-back."""
+    cols = ["partition_id", "n_refs", "n_tokens", "n_pages", "error"]
+    ds = ray.data.read_parquet(shard_dir, columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        err = pc.cast(pc.is_valid(t["error"]), pa.int64())
+        g = pa.table({
+            "partition_id": t["partition_id"],
+            "rows": pa.array([1] * t.num_rows, pa.int64()),
+            "refs": pc.cast(t["n_refs"], pa.int64()),
+            "tokens": t["n_tokens"],
+            "pages": pc.cast(t["n_pages"], pa.int64()),
+            "errors": err,
+        })
+        return g.group_by("partition_id").aggregate(
+            [("rows", "sum"), ("refs", "sum"), ("tokens", "sum"),
+             ("pages", "sum"), ("errors", "sum")]
+        ).rename_columns(["partition_id", "rows", "refs", "tokens", "pages", "errors"])
+
+    # per-batch partials are tiny (≤ num_partitions rows per block); the
+    # final merge happens on the driver — pre-aggregation replaces the
+    # all-to-all a bare groupby().aggregate() would shuffle
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (partials.groupby("partition_id", as_index=False).sum()
+           .sort_values("partition_id"))
+    return out.to_dict(orient="records")
+
+
+def run_extract(corpus_path: str, out_dir: str, *,
+                settings: Settings = DEFAULT_SETTINGS,
+                num_shards: int = 4, num_partitions: int = 64,
+                resume: bool = True, with_spans: bool = True,
+                concurrency: int | tuple | None = None,
+                batch_size: int = DEFAULT_BATCH_SIZE,
+                skew_threshold: int | None = DEFAULT_SKEW_THRESHOLD,
+                compute_metrics: bool = True) -> dict:
+    """Run (or resume) the extraction job. Returns run stats."""
+    files = corpus_files(corpus_path)
+    if not files:
+        raise FileNotFoundError("no parquet files under %s" % corpus_path)
+    num_shards = min(num_shards, len(files))
+    shards = {s: files[s::num_shards] for s in range(num_shards)}
+
+    done = mf.done_shards(out_dir) if resume else set()
+    os.makedirs(out_dir, exist_ok=True)
+
+    stats = {"shards_total": num_shards, "shards_skipped": 0, "rows": 0,
+             "errors": 0, "wall_sec": 0.0}
+    t0 = time.time()
+    for shard, shard_files in shards.items():
+        if shard in done:
+            stats["shards_skipped"] += 1
+            continue
+        ds = read_corpus(shard_files)
+        out = extract_dataset(ds, settings, num_partitions=num_partitions,
+                              concurrency=concurrency, batch_size=batch_size,
+                              with_spans=with_spans, skew_threshold=skew_threshold)
+        sdir = mf.shard_data_dir(out_dir, shard)
+        out.write_parquet(sdir)
+
+        metrics = _shard_metrics(sdir) if compute_metrics else []
+        rows = sum(m["rows"] for m in metrics)
+        errors = sum(m["errors"] for m in metrics)
+        mf.write_shard_metrics(out_dir, shard, metrics)
+        mf.write_shard_manifest(out_dir, shard, {
+            "shard": shard,
+            "files": [os.path.basename(f) for f in shard_files],
+            "rows": int(rows),
+            "errors": int(errors),
+            "partitions": len(metrics),
+        })
+        stats["rows"] += int(rows)
+        stats["errors"] += int(errors)
+    stats["wall_sec"] = time.time() - t0
+    return stats

@@ -1,0 +1,384 @@
+"""Query registry: every operator as a (Ray pipeline, DuckDB oracle) pair.
+
+``QUERIES[name](sf_dir)`` returns a Dataset / pandas / Arrow result;
+``ORACLES[name]`` is equivalent ANSI SQL over the same parquet tables
+(pre-registered DuckDB views: region nation customer supplier part
+orders lineitem events documents embeddings). Column names match
+exactly between both sides (the driver hashes values under sorted
+column names). Non-SQL-expressible pipelines (extraction, MinHash,
+SimHash, LSH, lang-id, media decode) have no oracle → rows-only check.
+
+Float columns: per-row int/int divisions are bit-identical across
+engines (same IEEE operands) and are left exact; multi-row float
+aggregates are rounded to 2dp (sums) / 6dp (cosines) because summation
+order differs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from pdfextract_ray.stages.textstats import stopwords_sql_list
+
+EXTRACT_CACHE_ROOT = "/tmp/pdfx_extract"
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, name + ".parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(_pq(sf_dir, name), columns=columns)
+
+
+# ------------------------------------------------------------------ corpus
+
+def ensure_extracted(sf_dir: str) -> str:
+    """Run (or resume) the flagship extraction for an sf dir; cached."""
+    from pdfextract_ray.pipelines.extract_pipeline import run_extract
+    from pdfextract_ray.sources.corpus import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    out_dir = os.path.join(EXTRACT_CACHE_ROOT,
+                           os.path.basename(os.path.normpath(sf_dir)))
+    run_extract(corpus, out_dir, num_shards=4, resume=True)
+    return out_dir
+
+
+def _read_extracted(sf_dir: str, columns=None):
+    import glob
+    import ray.data
+    out_dir = ensure_extracted(sf_dir)
+    files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def q_extract_flagship(sf_dir: str):
+    """Flagship: corpus → extraction (live pipeline, no cache)."""
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset, read_corpus
+    from pdfextract_ray.sources.corpus import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    out = extract_dataset(read_corpus(corpus), with_spans=False)
+    return out.select_columns(["url", "title", "text", "n_pages", "n_regions",
+                               "n_sections", "n_refs", "n_tokens", "error"])
+
+
+def q_extract_references(sf_dir: str):
+    """Exploded citation rows from the cached extraction output."""
+    ds = _read_extracted(sf_dir, columns=["url", "references"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, orders, contents = [], [], []
+        refs_col = t["references"].to_pylist()
+        for url, refs in zip(t["url"].to_pylist(), refs_col):
+            for ref in refs or []:
+                urls.append(url)
+                orders.append(ref["order"])
+                contents.append(ref["content"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "ref_order": pa.array(orders, pa.int64()),
+            "ref_content": pa.array(contents, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_extract_titles(sf_dir: str):
+    return _read_extracted(sf_dir, columns=["url", "title", "n_pages", "n_refs"])
+
+
+# ----------------------------------------------------------- text analysis
+
+def q_doc_stats(sf_dir: str):
+    from pdfextract_ray.stages.textstats import doc_stats_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+_DOC_STATS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+  length(regexp_replace(text, '[^A-Z0-9\-\[\],."''()]', '', 'g'))
+    / CAST(length(text) AS DOUBLE)                                  AS letter_ratio,
+  len(words)                                                        AS word_count,
+  CASE WHEN len(words) = 0 THEN 0.0
+       ELSE len(list_filter(words, x -> regexp_matches(x, '[^\d]\d{4}[^\d]')))
+            / CAST(len(words) AS DOUBLE) END                        AS year_ratio,
+  length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token_count
+FROM w
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from pdfextract_ray.stages.textstats import fingerprint_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+_DOC_FP_SQL = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    from pdfextract_ray.stages.textstats import quality_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(quality_batch, batch_format="pyarrow")
+
+
+_DOC_QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+  len(words) AS n_words,
+  CASE WHEN len(words) = 0 THEN 0.0
+       ELSE len(list_filter(words, x -> list_contains(%s, x)))
+            / CAST(len(words) AS DOUBLE) END AS stopword_ratio,
+  length(regexp_replace(text, '[^,.;:!?''"()\[\]-]', '', 'g'))
+    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  CASE WHEN len(words) = 0 THEN 0.0
+       ELSE list_sum(list_transform(words, x -> length(x)))
+            / CAST(len(words) AS DOUBLE) END AS mean_word_len
+FROM w
+""" % stopwords_sql_list()
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    return _read(sf_dir, "documents", ["lang", "n_chars"]) \
+        .groupby("lang").aggregate(Count(alias_name="n_docs"),
+                                   Sum("n_chars", alias_name="total_chars"))
+
+
+_LANG_COUNTS_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_id(sf_dir: str):
+    from pdfextract_ray.stages.textstats import LangId
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4),
+                     batch_size=1024)
+
+
+# ------------------------------------------------------------------- dedup
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partitioned keep-first (min doc_id per hash)."""
+    from ray.data.aggregate import Min
+    from pdfextract_ray.stages.textstats import WS_RE  # noqa: F401
+    import hashlib
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(x.encode("utf-8")).hexdigest()
+                  for x in t["text"].to_pylist()]
+        return pa.table({"text_hash": pa.array(hashes, pa.string()),
+                         "doc_id": t["doc_id"]})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(hash_batch, batch_format="pyarrow") \
+        .groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    from pdfextract_ray.stages.dedup import (bucket_pairs_group, connected_components,
+                                             minhash_bands_batch)
+    bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(minhash_bands_batch, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_hash"]) \
+        .map_groups(bucket_pairs_group, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    if len(pdf):
+        pdf = pdf.drop_duplicates(["a", "b"])
+    comp = connected_components(pdf)
+    rows = sorted(comp.items())
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "rep_id": pa.array([r for _, r in rows], pa.int64()),
+    })
+
+
+def q_dedup_simhash(sf_dir: str):
+    from pdfextract_ray.stages.dedup import simhash_batch, simhash_pairs_group
+    bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(simhash_batch, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_key"]) \
+        .map_groups(simhash_pairs_group, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    if len(pdf):
+        pdf = pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(pdf[["a", "b", "hamming"]], preserve_index=False) \
+        if len(pdf) else pa.table({"a": pa.array([], pa.int64()),
+                                   "b": pa.array([], pa.int64()),
+                                   "hamming": pa.array([], pa.int64())})
+
+
+# -------------------------------------------------------------- similarity
+
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    from pdfextract_ray.stages.similarity import TopKPartial, topk_merge_group
+
+    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_mask = [i for i, v in enumerate(emb["vec_id"].to_pylist()) if v < 10]
+    q_tbl = emb.take(q_mask)
+    import numpy as np
+    qmat = np.stack(q_tbl["embedding"].combine_chunks().to_numpy(zero_copy_only=False))
+    queries_ref = ray.put((q_tbl["vec_id"].to_pylist(), qmat))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(TopKPartial, batch_format="pyarrow",
+                              fn_constructor_kwargs=dict(queries_ref=queries_ref, k=5),
+                              concurrency=(1, 4))
+    return partials.groupby("query_id").map_groups(topk_merge_group,
+                                                   batch_format="pandas")
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS c
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(c * 1000000, 0) / 1000000.0 AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from pdfextract_ray.stages.similarity import (cosine_pairs_group,
+                                                  hyperplane_bucket_batch)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    buckets = ds.map_batches(lambda t: hyperplane_bucket_batch(t, dim=64),
+                             batch_format="pyarrow")
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        cosine_pairs_group, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    if len(pdf):
+        pdf = pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+    return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
+
+
+# -------------------------------------------------------------- multimodal
+
+def q_multimodal_decode(sf_dir: str):
+    from pdfextract_ray.stages.multimodal import DecodeMedia, synth_media_batch
+    media = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(synth_media_batch, batch_format="pyarrow")
+    return media.map_batches(DecodeMedia, batch_format="pyarrow",
+                             batch_size=64, concurrency=(1, 4)) \
+        .select_columns(["media_id", "kind", "width", "height", "decoded"])
+
+
+# -------------------------------------------------------------- relational
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) * 10000, 0) / 10000.0                        AS sum_qty,
+       round(sum(l_extendedprice) * 10000, 0) / 10000.0                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000.0 AS sum_disc_price,
+       count(*)                                          AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_NATION_REVENUE_SQL = """
+SELECT n_name, round(sum(o_totalprice) * 10000, 0) / 10000.0 AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_TOP_DOCS_SQL = """
+SELECT doc_id, n_chars, source FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+_EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       round(sum(value) * 10000, 0) / 10000.0 AS sum_value, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+_ORDERS_BY_STATUS_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice) * 10000, 0) / 10000.0 AS total, max(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def build_queries() -> dict:
+    from pdfextract_ray.pipelines import relational as rel
+    return {
+        # flagship extraction (non-SQL; rows-only driver check)
+        "extract_flagship": q_extract_flagship,
+        "extract_references": q_extract_references,
+        "extract_titles": q_extract_titles,
+        # text analysis (oracled)
+        "doc_stats": q_doc_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_quality": q_doc_quality,
+        "lang_counts": q_lang_counts,
+        "lang_id": q_lang_id,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        # similarity
+        "knn_cosine": q_knn_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
+        # multimodal plumbing
+        "multimodal_decode": q_multimodal_decode,
+        # relational
+        "q1_pricing": rel.q1_pricing,
+        "nation_revenue": rel.nation_revenue,
+        "top_docs": rel.top_docs,
+        "events_hourly": rel.events_hourly,
+        "orders_by_status": rel.orders_by_status,
+    }
+
+
+def build_oracles() -> dict:
+    return {
+        "doc_stats": _DOC_STATS_SQL,
+        "doc_fingerprint": _DOC_FP_SQL,
+        "doc_quality": _DOC_QUALITY_SQL,
+        "lang_counts": _LANG_COUNTS_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "knn_cosine": _KNN_SQL,
+        "q1_pricing": _Q1_SQL,
+        "nation_revenue": _NATION_REVENUE_SQL,
+        "top_docs": _TOP_DOCS_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "orders_by_status": _ORDERS_BY_STATUS_SQL,
+    }

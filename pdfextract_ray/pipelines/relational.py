@@ -1,0 +1,196 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's distributed aggregate / join / top-k /
+window shapes with exact DuckDB oracles (see pipelines/queries.py).
+Pattern used throughout (ray_guide "Aggregation at scale"):
+
+- **partial pre-aggregation** inside ``map_batches`` (one row per key
+  per batch) before the ``groupby`` — the shuffle moves partials, not
+  rows;
+- **broadcast joins** for small dimension tables — ``ray.put`` once,
+  dict lookup per batch — instead of an all-to-all shuffle join;
+- float aggregate outputs rounded (2dp sums / 4dp averages) because
+  summation order differs between engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+
+def grid_round(col, scale: float = 10000.0):
+    """Snap a float aggregate to a 1/scale grid via integer rounding.
+
+    Cross-engine float sums differ in final ulps (summation order); plain
+    round(x, 2) then yields two different doubles near tie boundaries.
+    round(x*scale)/scale makes both engines compute the division of the
+    SAME integer by the same scale → bit-identical doubles (matching SQL
+    ``round(x * scale, 0) / scale``)."""
+    return pc.divide(pc.round(pc.multiply(col, pa.scalar(scale))), pa.scalar(scale))
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, name + ".parquet")
+
+
+def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1 shape: grouped pricing summary over lineitem."""
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(__import__("datetime").datetime(1998, 9, 2))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"],
+            "base": t["l_extendedprice"],
+            "disc_price": disc_price,
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        return (g.group_by(["l_returnflag", "l_linestatus"])
+                 .aggregate([("qty", "sum"), ("base", "sum"),
+                             ("disc_price", "sum"), ("n", "sum")])
+                 .rename_columns(["l_returnflag", "l_linestatus",
+                                  "qty", "base", "disc_price", "n"]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    rolled = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": grid_round(t["sum_qty"]),
+            "sum_base_price": grid_round(t["sum_base_price"]),
+            "sum_disc_price": grid_round(t["sum_disc_price"]),
+            "count_order": t["count_order"],
+        })
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer ⋈ nation via broadcast dicts → revenue by nation."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    nat_map = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    lookup_ref = ray.put((cust_map, nat_map))  # broadcast ONCE
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
+                               columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table, _ref=lookup_ref) -> pa.Table:
+        cmap, nmap = ray.get(_ref)
+        names = [nmap[cmap[ck]] for ck in t["o_custkey"].to_pylist()]
+        g = pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "revenue": t["o_totalprice"],
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        return (g.group_by("n_name")
+                 .aggregate([("revenue", "sum"), ("n", "sum")])
+                 .rename_columns(["n_name", "revenue", "n"]))
+
+    rolled = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby("n_name").aggregate(
+                   Sum("revenue", alias_name="revenue"),
+                   Sum("n", alias_name="n_orders"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": grid_round(t["revenue"]),
+            "n_orders": t["n_orders"],
+        })
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def top_docs(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Top-k by n_chars (deterministic tie-break on doc_id)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"),
+                               columns=["doc_id", "n_chars", "source"])
+    # per-block partial top-k, then global sort+limit on the residue
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(t, k,
+                                   [("n_chars", "descending"), ("doc_id", "ascending")])
+        return t.take(idx)
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+              .sort(["n_chars", "doc_id"], descending=[True, False])
+              .limit(k))
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour window per event_type: count + value sum."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table({
+            "event_type": t["event_type"],
+            "hour": hour,
+            "value": t["value"],
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        return (g.group_by(["event_type", "hour"])
+                 .aggregate([("value", "sum"), ("n", "sum")])
+                 .rename_columns(["event_type", "hour", "value", "n"]))
+
+    rolled = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby(["event_type", "hour"]).aggregate(
+                   Sum("value", alias_name="sum_value"),
+                   Sum("n", alias_name="n_events"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": t["hour"],
+            "sum_value": grid_round(t["sum_value"]),
+            "n_events": t["n_events"],
+        })
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
+                               columns=["o_orderstatus", "o_totalprice"])
+    rolled = ds.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "n_orders": t["n_orders"],
+            "total": grid_round(t["total"]),
+            "max_price": t["max_price"],
+        })
+
+    return rolled.map_batches(finish, batch_format="pyarrow")

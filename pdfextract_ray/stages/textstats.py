@@ -1,0 +1,148 @@
+"""Per-document text analysis stages (vectorized ``map_batches`` bodies).
+
+Corpus-scale text features over the ``documents`` table: the reference's
+content scalars (``lib/pdf/extract/language.rb``) re-expressed as batch
+transforms, plus the training-data-pipeline extras (language-ID
+heuristic, quality scoring, token counting, fingerprinting). Each
+feature's semantics are chosen to be expressible in ANSI SQL so the
+DuckDB oracle can verify value-for-value (see pipelines/queries.py).
+
+All functions are Arrow in / Arrow out; heavy char-class counting uses
+``pyarrow.compute`` kernels, per-word scans use one compiled regex pass
+per row (rows are small documents; no quadratic work).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# language.rb:40-42 char class (see kernel.language.letter_ratio)
+LETTER_CLASS = r"[A-Z0-9\-\[\],.\"'()]"
+YEAR_WORD_RE = re.compile(r"[^\d]\d{4}[^\d]")
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")  # BPE-ish pre-tokenizer
+WS_RE = re.compile(r"\s+")
+PUNCT_CLASS = r"[,.;:!?'\"()\[\]-]"
+
+_STOPWORDS_SQL = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+                  "it", "that", "for", "on", "with", "as")
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """letter_ratio / word_count / year_ratio / token_count per doc."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text)
+    n_letters = pc.count_substring_regex(text, LETTER_CLASS)
+    letter_ratio = pc.divide(pc.cast(n_letters, pa.float64()),
+                             pc.cast(n_chars, pa.float64()))
+    token_count = pc.count_substring_regex(text, TOKEN_RE.pattern)
+
+    texts = text.to_pylist()
+    word_counts = np.empty(len(texts), dtype=np.int64)
+    year_counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = t.split()
+        word_counts[i] = len(words)
+        year_counts[i] = sum(1 for w in words if YEAR_WORD_RE.search(w))
+    year_ratio = np.divide(year_counts, word_counts,
+                           out=np.zeros(len(texts)), where=word_counts > 0)
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "letter_ratio": letter_ratio,
+        "word_count": pa.array(word_counts),
+        "year_ratio": pa.array(year_ratio),
+        "token_count": pc.cast(token_count, pa.int64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint: md5 of the lowercased, whitespace-collapsed
+    text (matches DuckDB ``md5(regexp_replace(lower(text),'\\s+',' ','g'))``)."""
+    fps = [
+        hashlib.md5(WS_RE.sub(" ", t.lower()).encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "fingerprint": pa.array(fps, pa.string())})
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals: word count, stopword ratio, punctuation ratio,
+    mean word length. Per-row int/int divisions are bit-identical
+    between numpy and DuckDB (same IEEE operands), so no rounding is
+    needed — only multi-row float aggregates need rounding."""
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_CLASS), pa.float64())
+    punct_ratio = pc.divide(n_punct, n_chars)
+
+    texts = text.to_pylist()
+    sw = set(_STOPWORDS_SQL)
+    n_words = np.empty(len(texts), dtype=np.int64)
+    n_stop = np.empty(len(texts), dtype=np.int64)
+    sum_len = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        n_words[i] = len(words)
+        n_stop[i] = sum(1 for w in words if w in sw)
+        sum_len[i] = sum(len(w) for w in words)
+    stop_ratio = np.divide(n_stop, n_words, out=np.zeros(len(texts)), where=n_words > 0)
+    mean_wlen = np.divide(sum_len, n_words, out=np.zeros(len(texts)), where=n_words > 0)
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words),
+        "stopword_ratio": pa.array(stop_ratio),
+        "punct_ratio": punct_ratio,
+        "mean_word_len": pa.array(mean_wlen),
+    })
+
+
+def stopwords_sql_list() -> str:
+    return "[" + ", ".join("'%s'" % w for w in _STOPWORDS_SQL) + "]"
+
+
+# ---------------------------------------------------------------- lang id
+
+_LANG_MARKERS = {
+    # tiny deterministic n-gram/stopword heuristic (public-knowledge lists)
+    "en": {"the", "and", "of", "is", "with", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "une"},
+    "es": {"el", "la", "los", "y", "es", "una"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage (state = marker tables, built once)."""
+
+    def __init__(self) -> None:
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        scores = []
+        for t in batch["text"].to_pylist():
+            words = t.lower().split()
+            if not words:
+                preds.append("und")
+                scores.append(0.0)
+                continue
+            best_lang, best = "und", 0
+            for lang, marks in self.markers.items():
+                hits = sum(1 for w in words if w in marks)
+                if hits > best:
+                    best_lang, best = lang, hits
+            preds.append(best_lang)
+            scores.append(round(best / len(words), 6))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "pred_lang": pa.array(preds, pa.string()),
+            "marker_ratio": pa.array(scores, pa.float64()),
+        })

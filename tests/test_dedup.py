@@ -1,0 +1,88 @@
+"""Dedup operator tests with planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdfextract_ray.stages import dedup as D
+
+BASE = ("the quick brown fox jumps over the lazy dog while carrying a "
+        "large bundle of synthetic training data for the pipeline")
+NEAR = ("the quick brown fox jumps over the lazy dog while carrying a "
+        "large bundle of synthetic training data for the engine")
+OTHER = ("completely different content about distributed columnar "
+         "execution engines and their shuffle strategies at scale")
+
+
+def test_minhash_identical_docs_estimate_one():
+    a = D.minhash_signature(BASE)
+    b = D.minhash_signature(BASE)
+    assert np.array_equal(a, b)
+
+
+def test_minhash_near_vs_far():
+    a = D.minhash_signature(BASE)
+    b = D.minhash_signature(NEAR)
+    c = D.minhash_signature(OTHER)
+    est_ab = (a == b).mean()
+    est_ac = (a == c).mean()
+    assert est_ab > 0.5
+    assert est_ac < 0.2
+
+
+def test_ngram_jaccard():
+    assert D.ngram_jaccard(BASE, BASE) == 1.0
+    assert 0.0 < D.ngram_jaccard(BASE, NEAR) < 1.0
+    assert D.ngram_jaccard(BASE, OTHER) < 0.05
+    assert D.ngram_jaccard("", "") == 1.0
+
+
+def test_bands_and_bucket_pairs():
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": [BASE, BASE, OTHER]})
+    bands = D.minhash_bands_batch(t)
+    assert bands.num_rows == 3 * D.NUM_BANDS
+    df = bands.to_pandas()
+    # identical docs collide in every band; collect pairs across buckets
+    pairs = (
+        df.groupby(["band_id", "band_hash"], group_keys=False)
+        .apply(D.bucket_pairs_group)
+        .drop_duplicates(["a", "b"])
+    )
+    assert [(1, 2)] == list(zip(pairs["a"], pairs["b"]))
+    assert pairs["est_jaccard"].iloc[0] == 1.0
+
+
+def test_connected_components():
+    import pandas as pd
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    comp = D.connected_components(pairs)
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_simhash_near_duplicates_low_hamming():
+    ha = D.simhash64(BASE)
+    hb = D.simhash64(NEAR)
+    hc = D.simhash64(OTHER)
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(ha, hb) <= 10
+    assert ham(ha, hc) > 10
+    assert D.simhash64(BASE) == ha  # deterministic
+
+
+def test_ray_minhash_pipeline_plants(ray_session):
+    """End-to-end over a Ray Dataset with planted dup clusters."""
+    import ray.data
+    rows = [{"doc_id": i, "text": OTHER + " doc %d" % i} for i in range(20)]
+    rows += [{"doc_id": 100, "text": BASE}, {"doc_id": 101, "text": BASE},
+             {"doc_id": 102, "text": BASE + " extra"}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    bands = ds.map_batches(D.minhash_bands_batch, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_hash"]) \
+        .map_groups(D.bucket_pairs_group, batch_format="pandas").to_pandas()
+    pairs = pairs.drop_duplicates(["a", "b"])
+    comp = D.connected_components(pairs)
+    assert comp.get(100) == 100 and comp.get(101) == 100
+    # 102 is near-dup of BASE; should join the same cluster
+    assert comp.get(102) == 100

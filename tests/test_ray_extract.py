@@ -1,0 +1,110 @@
+"""Ray pipeline ≡ pure kernel: the distributed path must be byte-identical
+per url to the single-process kernel (FIXTURES.md §5 parallelism
+invariance), plus resume-equals-fresh and skew-branch equivalence."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdfextract_ray.kernel.document import run_document
+
+
+@pytest.fixture(scope="module")
+def corpus_path(ray_session, tiny_corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    # write as 4 files so shard grouping has something to split
+    n = tiny_corpus.num_rows
+    for i in range(4):
+        pq.write_table(tiny_corpus.slice(i * n // 4, n // 4),
+                       str(d / ("part-%d.parquet" % i)))
+    return str(d)
+
+
+def _kernel_results(tiny_corpus, gazetteer):
+    out = {}
+    for i in range(tiny_corpus.num_rows):
+        url = tiny_corpus.column("url")[i].as_py()
+        out[url] = run_document(tiny_corpus.column("html")[i].as_py(),
+                                gazetteer=gazetteer)
+    return out
+
+
+def test_ray_matches_kernel(ray_session, corpus_path, tiny_corpus, gazetteer):
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset, read_corpus
+    out = extract_dataset(read_corpus(corpus_path), concurrency=2,
+                          batch_size=4).to_pandas()
+    kern = _kernel_results(tiny_corpus, gazetteer)
+    assert len(out) == len(kern)
+    for _, row in out.iterrows():
+        k = kern[row["url"]]
+        assert row["text"] == k.text, row["url"]
+        assert (row["title"] if row["title"] is not None else None) == k.title
+        got_refs = [(r["content"], r["order"]) for r in row["references"]]
+        exp_refs = [(r["content"], r.get("order")) for r in k.references]
+        assert got_refs == exp_refs
+        assert row["error"] is None
+
+
+def test_skew_branch_equivalence(ray_session, corpus_path):
+    """Routing rows through the oversized branch must not change results."""
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset, read_corpus
+    a = extract_dataset(read_corpus(corpus_path), concurrency=2,
+                        skew_threshold=None).to_pandas()
+    # threshold below every row size → everything goes down the big branch
+    b = extract_dataset(read_corpus(corpus_path), concurrency=2,
+                        skew_threshold=10).to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    assert list(a["text"]) == list(b["text"])
+    assert list(a["n_refs"]) == list(b["n_refs"])
+
+
+def test_resume_equals_fresh(ray_session, corpus_path, tmp_path):
+    from pdfextract_ray.pipelines.extract_pipeline import run_extract
+    fresh = str(tmp_path / "fresh")
+    resumed = str(tmp_path / "resumed")
+
+    s1 = run_extract(corpus_path, fresh, num_shards=4, concurrency=2)
+    assert s1["rows"] == 16 and s1["errors"] == 0
+
+    # simulate a crash: run only shard 0+1 by pre-marking 2 and 3 done,
+    # then unmark and resume
+    s2a = run_extract(corpus_path, resumed, num_shards=2, concurrency=2)
+    assert s2a["shards_skipped"] == 0
+    # delete shard 1 and its manifest → resume recomputes only shard 1
+    shutil.rmtree(os.path.join(resumed, "shard=0001"))
+    os.remove(os.path.join(resumed, "_manifests", "shard-0001.json"))
+    s2b = run_extract(corpus_path, resumed, num_shards=2, concurrency=2)
+    assert s2b["shards_skipped"] == 1
+
+    def load(d):
+        files = sorted(glob.glob(os.path.join(d, "shard=*", "*.parquet")))
+        t = pq.read_table(files, columns=["url", "text", "n_refs"])
+        return t.to_pandas().sort_values("url").reset_index(drop=True)
+
+    fa, fb = load(fresh), load(resumed)
+    assert list(fa["text"]) == list(fb["text"])
+    assert list(fa["n_refs"]) == list(fb["n_refs"])
+
+
+def test_error_isolation(ray_session, gazetteer):
+    """A poisoned row yields an error column, not a failed block."""
+    import ray.data
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset
+
+    from datetime import datetime
+    ts = datetime(2024, 1, 1)
+    rows = [
+        {"url": "u1", "warc_ts": ts, "html": b"<p>fine</p>", "lang": "en"},
+        {"url": "u2", "warc_ts": ts, "html": None, "lang": "en"},  # poison
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = extract_dataset(ds, concurrency=1, skew_threshold=None).to_pandas()
+    out = out.set_index("url")
+    assert out.loc["u1", "error"] is None
+    assert out.loc["u2", "error"] is not None
+    assert out.loc["u1", "text"] == "fine"

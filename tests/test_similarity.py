@@ -1,0 +1,70 @@
+"""Similarity-search tests: brute-force top-k vs numpy reference, LSH
+near-dup recall on planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdfextract_ray.stages import similarity as S
+
+
+def _emb_table(mat, ids=None):
+    ids = ids if ids is not None else list(range(len(mat)))
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_topk_matches_numpy(ray_session):
+    import ray
+    import ray.data
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    t = _emb_table(mat)
+    q_ids = [0, 1, 2]
+    qmat = mat[:3].astype(np.float64)
+    ref = ray.put((q_ids, qmat))
+
+    ds = ray.data.from_arrow(t)
+    partials = ds.map_batches(S.TopKPartial, batch_format="pyarrow",
+                              fn_constructor_kwargs=dict(queries_ref=ref, k=5),
+                              concurrency=1, batch_size=64)
+    out = partials.groupby("query_id").map_groups(
+        S.topk_merge_group, batch_format="pandas").to_pandas()
+
+    # numpy reference
+    n = S._normalize(mat.astype(np.float64))
+    qn = S._normalize(qmat)
+    sims = n @ qn.T
+    for qi, q_id in enumerate(q_ids):
+        order = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+        got = out[out["query_id"] == q_id].sort_values("rank")
+        assert list(got["vec_id"]) == list(order), q_id
+
+
+def test_lsh_near_dup_finds_planted(ray_session):
+    import ray.data
+    rng = np.random.RandomState(11)
+    mat = rng.standard_normal((100, 64))
+    # plant: vec 100/101 near-identical to vec 0
+    near = mat[0] + rng.standard_normal(64) * 0.01
+    mat = np.vstack([mat, near[None, :], mat[0][None, :]])
+    t = _emb_table(mat.astype(np.float32), ids=list(range(100)) + [100, 101])
+
+    ds = ray.data.from_arrow(t)
+    buckets = ds.map_batches(lambda b: S.hyperplane_bucket_batch(b, dim=64),
+                             batch_format="pyarrow")
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        S.cosine_pairs_group, batch_format="pandas").to_pandas()
+    pairs = pairs.drop_duplicates(["a", "b"])
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 100) in found
+    assert (0, 101) in found
+    assert pairs.set_index(["a", "b"]).loc[(0, 101), "cosine"] == 1.0
+
+
+def test_normalize_zero_vector_safe():
+    out = S._normalize(np.zeros((2, 4)))
+    assert not np.isnan(out).any()

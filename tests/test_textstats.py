@@ -1,0 +1,75 @@
+"""Text-analysis stage tests: batch kernels vs direct DuckDB SQL on the
+same rows (engine-level parity without Ray)."""
+
+import duckdb
+import pyarrow as pa
+
+from pdfextract_ray.stages import textstats as T
+
+ROWS = pa.table({
+    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+    "text": [
+        "The quick brown fox, born (1987), JUMPED over 12 lazy dogs.",
+        "plain lowercase words only",
+        "A.B. [1] ref-like text 'quoted' (x2004y)",
+        "   leading and trailing   ",
+    ],
+})
+
+
+def _sql(expr_sql: str):
+    con = duckdb.connect()
+    con.register("documents", ROWS)
+    return con.sql(expr_sql).df()
+
+
+def test_doc_stats_matches_duckdb():
+    from pdfextract_ray.pipelines.queries import _DOC_STATS_SQL
+    mine = T.doc_stats_batch(ROWS).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    oracle = _sql(_DOC_STATS_SQL).sort_values("doc_id").reset_index(drop=True)
+    for col in ["letter_ratio", "word_count", "year_ratio", "token_count"]:
+        assert list(mine[col]) == list(oracle[col]), col
+
+
+def test_fingerprint_matches_duckdb():
+    from pdfextract_ray.pipelines.queries import _DOC_FP_SQL
+    mine = T.fingerprint_batch(ROWS).to_pandas().sort_values("doc_id")
+    oracle = _sql(_DOC_FP_SQL).sort_values("doc_id")
+    assert list(mine["fingerprint"]) == list(oracle["fingerprint"])
+
+
+def test_quality_matches_duckdb():
+    from pdfextract_ray.pipelines.queries import _DOC_QUALITY_SQL
+    mine = T.quality_batch(ROWS).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    oracle = _sql(_DOC_QUALITY_SQL).sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_words", "stopword_ratio", "punct_ratio", "mean_word_len"]:
+        assert list(mine[col]) == list(oracle[col]), col
+
+
+def test_lang_id_markers():
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": ["en", "de"],
+        "text": ["the cat and the dog is here", "der hund und die katze ist da"],
+    })
+    out = T.LangId()(batch).to_pandas()
+    assert list(out["pred_lang"]) == ["en", "de"]
+
+
+def test_multimodal_decode_stub():
+    from pdfextract_ray.stages.multimodal import DecodeMedia, synth_media_batch
+    docs = pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                     "text": ["image doc", "audio doc"]})
+    media = synth_media_batch(docs)
+    out = DecodeMedia()(media).to_pandas()
+    assert list(out["kind"]) == ["image", "audio"]
+    assert all(out["decoded"])
+    assert out["width"].iloc[0] == 16 + 2 % 64
+    # deterministic features
+    out2 = DecodeMedia()(media).to_pandas()
+    assert list(out["features"].iloc[0]) == list(out2["features"].iloc[0])
+    # garbage payload doesn't decode but doesn't raise
+    bad = pa.table({"media_id": pa.array([9], pa.int64()), "kind": ["image"],
+                    "payload": pa.array([b"notamedia"], pa.binary())})
+    outb = DecodeMedia()(bad).to_pandas()
+    assert not outb["decoded"].iloc[0] or outb["width"].iloc[0] == 0
