@@ -82,6 +82,120 @@ class _Acc:
         return so
 
 
+class _LineAcc:
+    """Row-sweep accumulator over LINE records (see layout._emit_line for
+    the equivalence argument). Replicates the glyph-level sweep exactly
+    at line boundaries; within-line decisions are precomputed."""
+
+    __slots__ = ("x", "y", "right", "top", "font", "line_height", "parts",
+                 "n_glyphs", "extra")
+
+    def __init__(self, line: dict) -> None:
+        self.x = line["x"]
+        self.y = line["y"]
+        self.right = line["x"] + line["width"]
+        self.top = line["y"] + line["height"]
+        self.font = line["font"]
+        self.line_height = line["line_height"]
+        self.parts = [line["content"]]
+        self.n_glyphs = line["n_glyphs"]
+        self.extra = line
+
+    def absorb(self, line: dict, separator: str) -> None:
+        r = line["x"] + line["width"]
+        if r > self.right:
+            self.right = r
+        t = line["y"] + line["height"]
+        if t > self.top:
+            self.top = t
+        if separator:
+            self.parts.append(separator)
+        self.parts.append(line["content"])
+        if self.n_glyphs == 1:
+            # first glyph-level merge ties 1-vs-1 → right side's font wins
+            self.font = line["font"]
+            self.line_height = line["line_height"]
+        self.n_glyphs += line["n_glyphs"]
+
+    def to_chunk(self) -> dict:
+        e = self.extra
+        return {
+            "x": self.x, "y": self.y,
+            "width": self.right - self.x, "height": self.top - self.y,
+            "content": "".join(self.parts),
+            "font": self.font, "line_height": self.line_height,
+            "page": e["page"], "page_width": e["page_width"],
+            "page_height": e["page_height"],
+        }
+
+
+def build_chunks_from_lines(lines: list[dict], settings: Settings) -> list[dict]:
+    """Fast path: the same sweep over laid-out line records."""
+    if not lines:
+        return []
+    char_slop = settings.char_slop
+    word_slop = settings.word_slop
+
+    rows: dict[float, tuple[list[dict], list[float]]] = {}
+    for line in lines:
+        entry = rows.get(line["y"])
+        if entry is None:
+            rows[line["y"]] = ([line], [line["x"]])
+            continue
+        row, xs = entry
+        x = line["x"]
+        if x > xs[-1]:
+            row.append(line)
+            xs.append(x)
+        else:
+            i = bisect_left(xs, x)
+            row.insert(i, line)
+            xs.insert(i, x)
+
+    text_chunks: list[dict] = []
+    for row, _ in rows.values():
+        acc = _LineAcc(row[0])
+        char_width = row[0]["char_w"]
+        for k in range(1, len(row)):
+            right = row[k]
+            edge = acc.right
+            if edge + (char_width * char_slop) >= right["x"]:
+                acc.absorb(right, "")
+            elif edge + (char_width * word_slop) >= right["x"]:
+                acc.absorb(right, " ")
+            else:
+                text_chunks.append(acc.to_chunk())
+                acc = _LineAcc(right)
+                char_width = right["char_w"]
+                continue
+            if right["last_alnum_w"] is not None:
+                char_width = right["last_alnum_w"]
+        text_chunks.append(acc.to_chunk())
+
+    return _overlap_merge(text_chunks, settings.overlap_slop)
+
+
+def _overlap_merge(text_chunks: list[dict], overlap_slop: float) -> list[dict]:
+    # -- cross-row overlap merge (chunks.rb:85-107)
+    text_chunks.sort(key=lambda obj: obj["x"])  # stable, like sort_by!
+    merged: list[dict] = []
+    while len(text_chunks) > 1:
+        left = text_chunks[0]
+        right = text_chunks[1]
+        min_h = min(left["height"], right["height"])
+        overlap = (min_h - abs(left["y"] - right["y"])) / min_h
+        if overlap >= overlap_slop:
+            text_chunks[0] = spatial.merge(left, right)
+            del text_chunks[1]
+        else:
+            merged.append(text_chunks[0])
+            del text_chunks[0]
+    merged.append(text_chunks[0])
+
+    # -- drop whitespace-only chunks (chunks.rb:111)
+    return [c for c in merged if c["content"].strip() != ""]
+
+
 def build_chunks(tokens: list[dict], settings: Settings) -> list[dict]:
     if not tokens:
         return []

@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pdfextract_ray.kernel import spatial
-from pdfextract_ray.kernel.chunks import build_chunks
+from pdfextract_ray.kernel.chunks import build_chunks_from_lines
 from pdfextract_ray.kernel.columns import build_columns
 from pdfextract_ray.kernel.layout import tokenize
 from pdfextract_ray.kernel.margins import build_margins
@@ -67,46 +67,58 @@ def _page_body_text(page_regions: list[dict], page_columns: list[dict]) -> list[
     return parts
 
 
-def run_document(html: bytes | str, settings: Settings = DEFAULT_SETTINGS,
-                 gazetteer: dict[str, bool] | None = None) -> ExtractResult:
+def layout_pages(html: bytes | str) -> dict[int, list[dict]]:
+    """Tokenize and group lines by page (first-seen order = ascending)."""
+    pages: dict[int, list[dict]] = {}
+    for line in tokenize(html):
+        pages.setdefault(line["page"], []).append(line)
+    return pages
+
+
+def process_page(page_lines: list[dict], settings: Settings = DEFAULT_SETTINGS) -> dict:
+    """All per-page stages for one page: chunks → regions → margins →
+    zones → columns → body reading-order text parts. Pure; the unit of
+    work for the page-exploded pipeline variant."""
+    chunks = build_chunks_from_lines(page_lines, settings)
+    regions = build_regions(chunks, settings)
+    out = {"n_glyphs": sum(l["n_glyphs"] for l in page_lines),
+           "n_chunks": len(chunks), "regions": regions, "columns": [],
+           "zones": [], "text_parts": []}
+    if not regions:
+        return out
+    margins = build_margins(regions)
+    zones = build_zones(regions, margins, settings)
+    body = zones["bodies"][-1] if zones["bodies"] else None
+    columns = build_columns(regions, body, settings)
+    out["columns"] = columns
+    for ztype in ("headers", "footers", "bodies"):
+        for z in zones[ztype]:
+            out["zones"].append({"zone": ztype[:-1] if ztype != "bodies" else "body",
+                                 **{k: z[k] for k in ("page", "x", "y", "width", "height")}})
+    body_regions = [r for r in regions if body is not None and spatial.contains(body, r)]
+    out["text_parts"] = _page_body_text(body_regions, columns)
+    return out
+
+
+def assemble_document(page_results: list[dict], settings: Settings = DEFAULT_SETTINGS,
+                      gazetteer: dict[str, bool] | None = None) -> ExtractResult:
+    """Document-scoped stages over per-page results IN PAGE ORDER:
+    title pick, section assembly, reference split, text join. The
+    reassembly point of the exploded pipeline (groupby(url) shuffle)."""
     gazetteer = gazetteer if gazetteer is not None else {}
     res = ExtractResult()
-
-    tokens = tokenize(html)
-    res.n_tokens = len(tokens)
-    if not tokens:
-        return res
-
-    # group by page in first-seen order (pages emit in ascending order)
-    pages: dict[int, list[dict]] = {}
-    for tok in tokens:
-        pages.setdefault(tok["page"], []).append(tok)
-    res.n_pages = len(pages)
+    res.n_pages = len(page_results)
 
     all_regions: list[dict] = []
     all_columns: list[dict] = []
     text_parts: list[str] = []
-
-    for page_no, page_tokens in pages.items():
-        chunks = build_chunks(page_tokens, settings)
-        res.n_chunks += len(chunks)
-        regions = build_regions(chunks, settings)
-        if not regions:
-            continue
-        margins = build_margins(regions)
-        zones = build_zones(regions, margins, settings)
-        body = zones["bodies"][-1] if zones["bodies"] else None
-        columns = build_columns(regions, body, settings)
-
-        all_regions.extend(regions)
-        all_columns.extend(columns)
-        for ztype in ("headers", "footers", "bodies"):
-            for z in zones[ztype]:
-                res.zones.append({"zone": ztype[:-1] if ztype != "bodies" else "body",
-                                  **{k: z[k] for k in ("page", "x", "y", "width", "height")}})
-
-        body_regions = [r for r in regions if body is not None and spatial.contains(body, r)]
-        text_parts.extend(_page_body_text(body_regions, columns))
+    for pr in page_results:
+        res.n_tokens += pr["n_glyphs"]
+        res.n_chunks += pr["n_chunks"]
+        all_regions.extend(pr["regions"])
+        all_columns.extend(pr["columns"])
+        res.zones.extend(pr["zones"])
+        text_parts.extend(pr["text_parts"])
 
     res.text = "\n".join(text_parts)
     res.regions = all_regions
@@ -119,3 +131,12 @@ def run_document(html: bytes | str, settings: Settings = DEFAULT_SETTINGS,
     res.sections = build_sections(all_regions, all_columns, settings, gazetteer)
     res.references = build_references(res.sections, settings)
     return res
+
+
+def run_document(html: bytes | str, settings: Settings = DEFAULT_SETTINGS,
+                 gazetteer: dict[str, bool] | None = None) -> ExtractResult:
+    pages = layout_pages(html)
+    if not pages:
+        return ExtractResult()
+    return assemble_document([process_page(pl, settings) for pl in pages.values()],
+                             settings, gazetteer)

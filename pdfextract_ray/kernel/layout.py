@@ -190,18 +190,58 @@ def _wrap_words(words: list[str], width: float, cont_width: float,
 
 def _emit_line(tokens: list[dict], words: list[str], x0: float, y: float,
                font: str, size: float, line_height: float, page: int) -> None:
+    """Emit one laid-out LINE record (the fast path consumed by
+    ``chunks.build_chunks_from_lines``).
+
+    The reference's row sweep operates on single glyphs; for glyphs of
+    uniform advance within a line, its glue/space decisions are
+    invariant to the running char_width for any font size in
+    [2.5, 50) pt (glue threshold 0.2·cw is always < one space advance;
+    word threshold 4·cw is always ≥ one space advance), so a whole
+    emitted line always collapses to exactly one space-joined chunk.
+    We therefore emit the collapsed line plus the glyph-level state the
+    sweep needs at LINE BOUNDARIES: first-glyph width (Ruby
+    ``row.first[:width]``), last-alnum-glyph width (the running
+    char_width after the line), and the glyph count. ``to_glyphs``
+    reconstructs the exact per-glyph stream for parity tests."""
     char_w = CHAR_RATIO * size
-    x = x0
-    for wi, word in enumerate(words):
-        if wi:
-            x += char_w  # inter-word space advance (no glyph emitted)
-        for ch in word:
-            tokens.append({
-                "x": x, "y": y, "width": char_w, "height": size,
-                "line_height": line_height, "content": ch, "page": page,
-                "font": font, "page_width": PAGE_WIDTH, "page_height": PAGE_HEIGHT,
-            })
+    n_glyphs = sum(len(w) for w in words)
+    n_advances = n_glyphs + (len(words) - 1)  # spaces advance, no glyph
+    content = " ".join(words)
+    # width of the last glyph whose content is alphanumeric (None if none)
+    last_alnum = None
+    for w in reversed(words):
+        for ch in reversed(w):
+            if ch.isascii() and ch.isalnum():
+                last_alnum = char_w
+                break
+        if last_alnum is not None:
+            break
+    tokens.append({
+        "x": x0, "y": y, "width": n_advances * char_w, "height": size,
+        "line_height": line_height, "content": content, "page": page,
+        "font": font, "page_width": PAGE_WIDTH, "page_height": PAGE_HEIGHT,
+        "char_w": char_w, "n_glyphs": n_glyphs, "last_alnum_w": last_alnum,
+    })
+
+
+def to_glyphs(line: dict) -> list[dict]:
+    """Expand a line record back into the reference's per-glyph tokens."""
+    out = []
+    x = line["x"]
+    char_w = line["char_w"]
+    for ch in line["content"]:
+        if ch == " ":
             x += char_w
+            continue
+        out.append({
+            "x": x, "y": line["y"], "width": char_w, "height": line["height"],
+            "line_height": line["line_height"], "content": ch,
+            "page": line["page"], "font": line["font"],
+            "page_width": line["page_width"], "page_height": line["page_height"],
+        })
+        x += char_w
+    return out
 
 
 def tokenize(html: str | bytes) -> list[dict]:

@@ -42,24 +42,62 @@ def _append_line_spacing(region: dict) -> None:
         height_taken = from_top + line["height"]
 
 
+def _tc_term(content: str) -> int:
+    # one line's contribution to get_text_content length (spatial.rb:98-109):
+    # hyphen-ending lines join with the hyphen elided, others add a space
+    return len(content) - 1 if content.endswith("-") else len(content) + 1
+
+
+def _tc_len(region: dict) -> int:
+    # total text-content length; the trailing space of a non-hyphen final
+    # line is stripped
+    return region["_tcS"] - (0 if region["lines"][-1]["content"].endswith("-") else 1)
+
+
+def _merge_regions(t: dict, b: dict) -> dict:
+    """spatial.merge(t, b, lines=True) with cached text lengths — the
+    dominant-font rule (spatial.rb:63-69) needs only the LENGTHS of both
+    sides' text content, which accumulate additively over lines."""
+    blx = t["x"] if t["x"] < b["x"] else b["x"]
+    bly = t["y"] if t["y"] < b["y"] else b["y"]
+    trx = max(t["x"] + t["width"], b["x"] + b["width"])
+    try_ = max(t["y"] + t["height"], b["y"] + b["height"])
+
+    so = {**t, **b}
+    so["x"] = blx
+    so["y"] = bly
+    so["width"] = trx - blx
+    so["height"] = try_ - bly
+    so["lines"] = t["lines"] + b["lines"]
+    so["_tcS"] = t["_tcS"] + b["_tcS"]
+    if _tc_len(t) > _tc_len(b):
+        so["font"] = t["font"]
+        so["line_height"] = t["line_height"]
+    else:
+        so["font"] = b["font"]
+        so["line_height"] = b["line_height"]
+    return so
+
+
 def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
     if not page_chunks:
         return []
     line_slop_setting = settings.line_slop
 
     # ascending-y insertion sort, ties before equals (regions.rb:58-63)
+    from bisect import bisect_left
     chunks: list[dict] = []
+    ys: list[float] = []
     for chunk in page_chunks:
         y = chunk["y"]
-        idx = next((i for i, obj in enumerate(chunks) if y <= obj["y"]), None)
-        if idx is None:
-            chunks.append(dict(chunk))
-        else:
-            chunks.insert(idx, dict(chunk))
+        i = bisect_left(ys, y)
+        chunks.insert(i, dict(chunk))
+        ys.insert(i, y)
 
     # chunks become single-line carriers (regions.rb:70-74)
     for chunk in chunks:
         chunk["lines"] = [spatial.as_line(chunk)]
+        chunk["_tcS"] = _tc_term(chunk["content"])
         del chunk["content"]
 
     regions: list[dict] = []
@@ -73,7 +111,7 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
         incident_y = (b["y"] + b["height"] + line_slop) >= t["y"]
 
         if incident_y and _incident(t, b):
-            chunks[0] = spatial.merge(t, b, lines=True)
+            chunks[0] = _merge_regions(t, b)
             del chunks[compare_index]
             compare_index = 1
         elif compare_index < len(chunks) - 1:
@@ -87,6 +125,7 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
         regions.append(chunks[0])
 
     for region in regions:
+        region.pop("_tcS", None)
         _append_line_offsets(region)
         _append_line_spacing(region)
         region["lines"] = [spatial.drop_spatial(line) for line in region["lines"]]

@@ -67,6 +67,17 @@ def q_extract_flagship(sf_dir: str):
                                "n_sections", "n_refs", "n_tokens", "error"])
 
 
+def q_extract_exploded(sf_dir: str):
+    """Page-exploded variant (flat_map pages → per-page actors →
+    groupby(url) reassembly); equals the fused pipeline byte-for-byte."""
+    from pdfextract_ray.pipelines.exploded import extract_exploded
+    from pdfextract_ray.pipelines.extract_pipeline import read_corpus
+    from pdfextract_ray.sources.corpus import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    return extract_exploded(read_corpus(corpus))
+
+
 def q_extract_references(sf_dir: str):
     """Exploded citation rows from the cached extraction output."""
     ds = _read_extracted(sf_dir, columns=["url", "references"])
@@ -342,6 +353,7 @@ def build_queries() -> dict:
     return {
         # flagship extraction (non-SQL; rows-only driver check)
         "extract_flagship": q_extract_flagship,
+        "extract_exploded": q_extract_exploded,
         "extract_references": q_extract_references,
         "extract_titles": q_extract_titles,
         # text analysis (oracled)

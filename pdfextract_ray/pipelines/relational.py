@@ -9,7 +9,7 @@ Pattern used throughout (ray_guide "Aggregation at scale"):
   rows;
 - **broadcast joins** for small dimension tables — ``ray.put`` once,
   dict lookup per batch — instead of an all-to-all shuffle join;
-- float aggregate outputs rounded (2dp sums / 4dp averages) because
+- float aggregate outputs grid-snapped (see :func:`grid_round`) because
   summation order differs between engines.
 """
 
