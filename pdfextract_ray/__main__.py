@@ -1,0 +1,127 @@
+"""CLI multiplexer — the ``bin/pdf-extract`` analogue.
+
+Commands (bin/pdf-extract:29-50 has extract / extract-bib / mark /
+settings; mapped to the Ray engine):
+
+  python -m pdfextract_ray extract <corpus> --out DIR [--xml] [--exploded]
+  python -m pdfextract_ray extract-bib <corpus> --out DIR
+  python -m pdfextract_ray spans <corpus> --out DIR        # mark analogue: bbox parquet
+  python -m pdfextract_ray settings                        # list tunables
+
+<corpus> is a parquet file/dir of corpus-schema rows, or a directory of
+raw .html files (--html-dir). Settings override via repeated
+``--set key:value`` (float-coerced like the reference, pdf.rb:29-36)
+or ``--config file.json`` (bin/pdf-extract:98-110).
+
+Designed for ``ray job submit -- python -m pdfextract_ray extract ...``
+on a cluster; standalone it initialises a local Ray session itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _load_settings(args):
+    from pdfextract_ray.settings import DEFAULT_SETTINGS
+    overrides = {}
+    if args.config:
+        with open(args.config, encoding="utf-8") as f:
+            overrides.update(json.load(f))
+    for kv in args.set or []:
+        key, _, val = kv.partition(":")
+        overrides[key.strip()] = val.strip()
+    return DEFAULT_SETTINGS.with_overrides(overrides)
+
+
+def _corpus_ds(args):
+    if args.html_dir:
+        from pdfextract_ray.sources.readers import read_html_files
+        return read_html_files(args.corpus)
+    from pdfextract_ray.pipelines.extract_pipeline import read_corpus
+    return read_corpus(args.corpus)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pdfextract_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("corpus")
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--set", action="append", metavar="KEY:VALUE")
+        sp.add_argument("--config")
+        sp.add_argument("--html-dir", action="store_true",
+                        help="corpus is a directory of raw .html files")
+        sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument("--shards", type=int, default=4)
+        sp.add_argument("--no-resume", action="store_true")
+        sp.add_argument("--exploded", action="store_true",
+                        help="page-exploded variant for mega-documents")
+
+    sp_e = sub.add_parser("extract", help="extraction → parquet (+ optional xml)")
+    common(sp_e)
+    sp_e.add_argument("--xml", action="store_true")
+
+    sp_b = sub.add_parser("extract-bib", help="extraction → resolved refs → bibtex")
+    common(sp_b)
+
+    sp_s = sub.add_parser("spans", help="bbox spans parquet (mark analogue)")
+    common(sp_s)
+
+    sub.add_parser("settings", help="list tunables")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "settings":
+        from pdfextract_ray.settings import DEFAULT_SETTINGS
+        for f in dataclasses.fields(DEFAULT_SETTINGS):
+            print("%-22s %s" % (f.name, f.default))
+        return 0
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    settings = _load_settings(args)
+    try:
+        if args.cmd == "extract" and not args.html_dir and not args.exploded \
+                and not args.xml:
+            # full resumable job with manifests + metrics
+            from pdfextract_ray.pipelines.extract_pipeline import run_extract
+            stats = run_extract(args.corpus, args.out, settings=settings,
+                                num_shards=args.shards, resume=not args.no_resume)
+            print(json.dumps(stats))
+            return 0
+
+        from pdfextract_ray.registry import default_registry
+        reg = default_registry()
+        ctx = {"settings": settings}
+        ds = _corpus_ds(args)
+        if args.cmd == "extract":
+            if args.exploded:
+                from pdfextract_ray.pipelines.exploded import extract_exploded
+                out = extract_exploded(ds, settings=settings)
+            else:
+                out = reg.build(ds, ["xml"] if args.xml else ["extract"], ctx)
+            out.write_parquet(args.out)
+        elif args.cmd == "extract-bib":
+            reg.build(ds, ["bibtex"], ctx).write_parquet(args.out)
+        elif args.cmd == "spans":
+            out = reg.build(ds, ["extract"], ctx) \
+                .select_columns(["url", "spans"])
+            out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "ok": True}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -103,6 +103,28 @@ def q_extract_titles(sf_dir: str):
     return _read_extracted(sf_dir, columns=["url", "title", "n_pages", "n_refs"])
 
 
+def q_resolved_references(sf_dir: str):
+    """Mock-resolver enrichment over exploded refs (I/O-pool shape)."""
+    from pdfextract_ray.stages.resolve import ResolveReferences
+    return q_extract_references(sf_dir).map_batches(
+        ResolveReferences, batch_format="pyarrow",
+        concurrency=(1, 4), num_cpus=0.25,
+    ).select_columns(["url", "ref_order", "doi", "score", "resolved_by"])
+
+
+def q_bibtex(sf_dir: str):
+    """BibView analogue: BibTeX entries for resolved refs (score >= 1)."""
+    import pyarrow.compute as pc
+    from pdfextract_ray.stages.resolve import ResolveReferences, render_bibtex_batch
+    ds = q_extract_references(sf_dir).map_batches(
+        ResolveReferences, batch_format="pyarrow",
+        concurrency=(1, 4), num_cpus=0.25,
+    ).map_batches(render_bibtex_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["bibtex"])), batch_format="pyarrow"
+    ).select_columns(["url", "ref_order", "bibtex"])
+
+
 # ----------------------------------------------------------- text analysis
 
 def q_doc_stats(sf_dir: str):
@@ -356,6 +378,8 @@ def build_queries() -> dict:
         "extract_exploded": q_extract_exploded,
         "extract_references": q_extract_references,
         "extract_titles": q_extract_titles,
+        "resolved_references": q_resolved_references,
+        "bibtex": q_bibtex,
         # text analysis (oracled)
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
