@@ -369,6 +369,34 @@ SELECT o_orderstatus, count(*) AS n_orders,
 FROM orders GROUP BY 1
 """
 
+_EVENTS_SESSIONIZE_SQL = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value) * 10000, 0) / 10000.0 AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+_PART_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(sum(p_retailprice) / count(*) * 10000, 0) / 10000.0 AS avg_price,
+       min(p_size) AS min_size, max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+_DISTINCT_EVENT_TYPES_SQL = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
 
 def build_queries() -> dict:
     from pdfextract_ray.pipelines import relational as rel
@@ -400,6 +428,9 @@ def build_queries() -> dict:
         "nation_revenue": rel.nation_revenue,
         "top_docs": rel.top_docs,
         "events_hourly": rel.events_hourly,
+        "events_sessionize": rel.events_sessionize,
+        "part_brand_stats": rel.part_brand_stats,
+        "distinct_event_types": rel.distinct_event_types,
         "orders_by_status": rel.orders_by_status,
     }
 
@@ -416,5 +447,8 @@ def build_oracles() -> dict:
         "nation_revenue": _NATION_REVENUE_SQL,
         "top_docs": _TOP_DOCS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "part_brand_stats": _PART_BRAND_SQL,
+        "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,
         "orders_by_status": _ORDERS_BY_STATUS_SQL,
     }

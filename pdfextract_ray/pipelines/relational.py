@@ -176,6 +176,71 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     return rolled.map_batches(finish, batch_format="pyarrow")
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Session windows per user (30-min inactivity gap): the
+    streaming-shaped operator expressed as a keyed groupby —
+    ``groupby(user_id).map_groups`` over ts-sorted groups (ray_guide
+    "Streaming-shaped workloads"). Oracle: SQL gap-and-island with
+    lag() + a cumulative sum.
+
+    Output: (user_id, session_start, n_events, sum_value) — one row per
+    session. Ordering assumption: none across rows; ts sorting happens
+    inside each group.
+    """
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
+                               columns=["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "first"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        ).reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = (out["sum_value"] * 10000.0).round() / 10000.0
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped avg/min/max with deterministic cross-engine floats."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    ds = ray.data.read_parquet(_pq(sf_dir, "part"),
+                               columns=["p_brand", "p_retailprice", "p_size"])
+    rolled = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("p_retailprice", alias_name="price_sum"),
+        Min("p_size", alias_name="min_size"),
+        Max("p_size", alias_name="max_size"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["price_sum"], pc.cast(t["n_parts"], pa.float64()))
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "n_parts": t["n_parts"],
+            "avg_price": grid_round(avg),
+            "min_size": t["min_size"],
+            "max_size": t["max_size"],
+        })
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct values (Dataset.unique shape, kept as sorted rows)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type"])
+    from ray.data.aggregate import Count
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
 def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
                                columns=["o_orderstatus", "o_totalprice"])
