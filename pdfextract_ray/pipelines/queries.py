@@ -235,12 +235,12 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_minhash(sf_dir: str):
-    from pdfextract_ray.stages.dedup import (bucket_pairs_group, connected_components,
-                                             minhash_bands_batch)
+    from pdfextract_ray.stages.dedup import (connected_components,
+                                             minhash_bands_batch, shard_pairs_group)
     bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(minhash_bands_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]) \
-        .map_groups(bucket_pairs_group, batch_format="pandas")
+    pairs = bands.groupby("shard") \
+        .map_groups(shard_pairs_group, batch_format="pandas")
     pdf = pairs.to_pandas()
     if len(pdf):
         pdf = pdf.drop_duplicates(["a", "b"])
@@ -253,11 +253,11 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    from pdfextract_ray.stages.dedup import simhash_batch, simhash_pairs_group
+    from pdfextract_ray.stages.dedup import simhash_batch, simhash_shard_group
     bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(simhash_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_key"]) \
-        .map_groups(simhash_pairs_group, batch_format="pandas")
+    pairs = bands.groupby("shard") \
+        .map_groups(simhash_shard_group, batch_format="pandas")
     pdf = pairs.to_pandas()
     if len(pdf):
         pdf = pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])

@@ -82,12 +82,38 @@ def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
             band_hashes.append(bh)
             out_ids.append(doc_id)
             sigs.append(sig_bytes)
+    # "shard" groups many (band_id, band_hash) buckets into one Ray group:
+    # a groupby over millions of mostly-singleton buckets pays Ray's
+    # per-group overhead; 256 shard-groups keep the shuffle shape while
+    # the within-shard bucket grouping runs vectorized in pandas.
+    shards = [(bh ^ bi) & 0xFF for bi, bh in zip(band_ids, band_hashes)]
     return pa.table({
+        "shard": pa.array(shards, pa.int32()),
         "band_id": pa.array(band_ids, pa.int32()),
         "band_hash": pa.array(band_hashes, pa.int64()),
         "doc_id": pa.array(out_ids, pa.int64()),
         "sig": pa.array(sigs, pa.binary()),
     })
+
+
+def shard_pairs_group(df: pd.DataFrame, threshold: float = 0.5,
+                      max_bucket: int = 50) -> pd.DataFrame:
+    """One shard-group: iterate its real (band_id, band_hash) buckets,
+    skipping singletons, and emit verified pairs."""
+    out = []
+    sizes = df.groupby(["band_id", "band_hash"], sort=False).size()
+    multi = sizes[sizes > 1]
+    if len(multi) == 0:
+        return _EMPTY_PAIRS.copy()
+    grouped = df.groupby(["band_id", "band_hash"], sort=False)
+    for key in multi.index:
+        out.append(bucket_pairs_group(grouped.get_group(key), threshold, max_bucket))
+    return pd.concat(out, ignore_index=True)
+
+
+_EMPTY_PAIRS = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64")})
 
 
 def bucket_pairs_group(df: pd.DataFrame, threshold: float = 0.5,
@@ -138,13 +164,15 @@ def connected_components(pairs: "pd.DataFrame") -> dict[int, int]:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word features (md5-derived feature bits)."""
-    acc = np.zeros(64, dtype=np.int64)
+    words = text.lower().split()
+    if not words:
+        return 0
+    hs = np.array(
+        [struct.unpack("<Q", hashlib.md5(w.encode("utf-8")).digest()[:8])[0]
+         for w in words], dtype=np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for w in text.lower().split():
-        h = np.uint64(struct.unpack("<Q", hashlib.md5(w.encode("utf-8")).digest()[:8])[0])
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)   # (words, 64)
+    acc = np.where(bits == 1, 1, -1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:
@@ -166,12 +194,33 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
             hashes.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 view
             band_ids.append(b)
             band_keys.append((h >> (16 * b)) & 0xFFFF)
+    shards = [(bk ^ bi) & 0xFF for bi, bk in zip(band_ids, band_keys)]
     return pa.table({
+        "shard": pa.array(shards, pa.int32()),
         "doc_id": pa.array(out_ids, pa.int64()),
         "simhash": pa.array(hashes, pa.int64()),
         "band_id": pa.array(band_ids, pa.int32()),
         "band_key": pa.array(band_keys, pa.int32()),
     })
+
+
+def simhash_shard_group(df: pd.DataFrame, max_hamming: int = 3,
+                        max_bucket: int = 50) -> pd.DataFrame:
+    """One shard-group of simhash band rows → verified low-Hamming pairs."""
+    out = []
+    sizes = df.groupby(["band_id", "band_key"], sort=False).size()
+    multi = sizes[sizes > 1]
+    if len(multi) == 0:
+        return _EMPTY_SIM.copy()
+    grouped = df.groupby(["band_id", "band_key"], sort=False)
+    for key in multi.index:
+        out.append(simhash_pairs_group(grouped.get_group(key), max_hamming, max_bucket))
+    return pd.concat(out, ignore_index=True)
+
+
+_EMPTY_SIM = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "hamming": pd.Series(dtype="int64")})
 
 
 def simhash_pairs_group(df: pd.DataFrame, max_hamming: int = 3,

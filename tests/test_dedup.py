@@ -79,8 +79,8 @@ def test_ray_minhash_pipeline_plants(ray_session):
              {"doc_id": 102, "text": BASE + " extra"}]
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     bands = ds.map_batches(D.minhash_bands_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]) \
-        .map_groups(D.bucket_pairs_group, batch_format="pandas").to_pandas()
+    pairs = bands.groupby("shard") \
+        .map_groups(D.shard_pairs_group, batch_format="pandas").to_pandas()
     pairs = pairs.drop_duplicates(["a", "b"])
     comp = D.connected_components(pairs)
     assert comp.get(100) == 100 and comp.get(101) == 100
