@@ -65,8 +65,22 @@ def letter_ratio(s: str) -> float:
     return _ruby_div(n, float(len(s)))
 
 
+_UPPERS_RE = re.compile(r"[A-Z]")
+# an uppercase letter is exempt iff it is the first char other than
+# whitespace/dots after a '.' (or string start) — the state-machine
+# equivalent below, verified by a differential property test
+_EXEMPT_RE = re.compile(r"(?:\A|\.)[\s.]*[A-Z]")
+
+
 def cap_ratio(s: str) -> float:
     # language.rb:45-61 — caps not at sentence start, per word.
+    cap_count = len(_UPPERS_RE.findall(s)) - len(_EXEMPT_RE.findall(s))
+    return _ruby_div(cap_count, float(len(s.split())))
+
+
+def cap_ratio_scan(s: str) -> float:
+    """Reference state-machine implementation (language.rb:45-61),
+    kept for the differential test against the regex fast path."""
     sentence_end = True
     cap_count = 0
     for c in s:

@@ -67,10 +67,12 @@ def detect_names(content: str, gazetteer: dict[str, bool]) -> float:
     words = content.split()
     total = 0.0
     for word in words:
-        # names.rb:29 downcases first; capitalization below re-derives the
-        # lookup form, so the downcase only matters for the (inert)
-        # stopword check — we keep the direct path.
-        q = _query_form(word.lower())
+        # names.rb:29-35: downcase → capitalize → upcase-after-hyphen.
+        # Python str.capitalize() == Ruby downcase+capitalize; the hyphen
+        # pass only matters when a hyphen is present.
+        q = word.capitalize()
+        if "-" in q:
+            q = _HYPHEN_CAP_RE.sub(lambda m: "-" + m.group(1).upper(), q)
         amb = gazetteer.get(q)
         if amb is not None:
             total += AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT

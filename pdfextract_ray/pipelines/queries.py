@@ -331,6 +331,34 @@ def q_multimodal_decode(sf_dir: str):
         .select_columns(["media_id", "kind", "width", "height", "decoded"])
 
 
+def q_multimodal_resize(sf_dir: str):
+    from pdfextract_ray.stages.multimodal import ResizeImages, synth_media_batch
+    media = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(synth_media_batch, batch_format="pyarrow")
+    return media.map_batches(ResizeImages, batch_format="pyarrow",
+                             batch_size=64, concurrency=(1, 4)) \
+        .select_columns(["media_id", "kind", "width", "height"])
+
+
+def q_multimodal_frames(sf_dir: str):
+    from pdfextract_ray.stages.multimodal import SampleFrames, synth_media_batch
+    media = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(synth_media_batch, batch_format="pyarrow")
+    frames = media.map_batches(SampleFrames, batch_format="pyarrow",
+                               batch_size=64, concurrency=(1, 4))
+    import pyarrow.compute as pc
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib as hl
+        return pa.table({
+            "media_id": t["media_id"],
+            "frame_index": t["frame_index"],
+            "frame_md5": pa.array([hl.md5(b).hexdigest() for b in
+                                   t["frame"].to_pylist()], pa.string()),
+        })
+    return frames.map_batches(digest, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- relational
 
 _Q1_SQL = """
@@ -423,6 +451,8 @@ def build_queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         # multimodal plumbing
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         # relational
         "q1_pricing": rel.q1_pricing,
         "nation_revenue": rel.nation_revenue,

@@ -100,3 +100,71 @@ class DecodeMedia:
             "features": pa.array(feats, DECODED_TYPE),
             "decoded": pa.array(ok, pa.bool_()),
         })
+
+
+class ResizeImages:
+    """Actor-pool resize stage for image rows: payload → payload' with a
+    target max dimension. Real kernel stubbed (needs PIL); the
+    deterministic fake rewrites the header dims preserving aspect ratio,
+    leaving the blob untouched — the Ray plumbing (schema in/out, small
+    batch sizes for large blobs) is real."""
+
+    def __init__(self, max_dim: int = 32) -> None:
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, out_w, out_h = [], [], []
+        for kind, payload in zip(batch["kind"].to_pylist(),
+                                 batch["payload"].to_pylist()):
+            if kind != "image" or len(payload) < 12 or payload[:2] != b"PX":
+                out_payloads.append(payload)
+                out_w.append(0)
+                out_h.append(0)
+                continue
+            w, h = struct.unpack("<II", payload[4:12])
+            scale = min(1.0, self.max_dim / max(w, h, 1))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            out_payloads.append(payload[:4] + struct.pack("<II", nw, nh) + payload[12:])
+            out_w.append(nw)
+            out_h.append(nh)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(out_payloads, pa.binary()),
+            "width": pa.array(out_w, pa.int32()),
+            "height": pa.array(out_h, pa.int32()),
+        })
+
+
+class SampleFrames:
+    """Actor-pool frame sampler for audio/video rows: payload → one row
+    per sampled frame (``n_frames`` evenly spaced byte-windows). The
+    real codec is stubbed; the explode shape (one input row → many
+    output rows, each a small slice) is the part that matters for the
+    Ray pipeline (memory-bounded batches of large blobs)."""
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 32) -> None:
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, fidx, frames = [], [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind == "image" or len(payload) <= 12:
+                continue
+            body = payload[12:]
+            step = max(1, (len(body) - self.frame_bytes) // max(1, self.n_frames - 1))
+            for k in range(self.n_frames):
+                off = min(k * step, max(0, len(body) - self.frame_bytes))
+                ids.append(mid)
+                kinds.append(kind)
+                fidx.append(k)
+                frames.append(body[off:off + self.frame_bytes])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "frame_index": pa.array(fidx, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })

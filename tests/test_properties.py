@@ -48,6 +48,15 @@ def test_concat_lines_hyphen_rule(a, b):
         assert out == a + " " + b
 
 
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=300))
+@hsettings(max_examples=300, deadline=None)
+def test_cap_ratio_regex_equals_state_machine(s):
+    a = language.cap_ratio(s)
+    b = language.cap_ratio_scan(s)
+    assert (math.isnan(a) and math.isnan(b)) or a == b
+
+
 @given(st.text(max_size=200))
 @hsettings(max_examples=200, deadline=None)
 def test_language_ratios_bounded(s):

@@ -73,3 +73,20 @@ def test_multimodal_decode_stub():
                     "payload": pa.array([b"notamedia"], pa.binary())})
     outb = DecodeMedia()(bad).to_pandas()
     assert not outb["decoded"].iloc[0] or outb["width"].iloc[0] == 0
+
+
+def test_multimodal_resize_and_frames():
+    from pdfextract_ray.stages.multimodal import (ResizeImages, SampleFrames,
+                                                  synth_media_batch)
+    docs = pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                     "text": ["image doc", "audio doc"]})
+    media = synth_media_batch(docs)
+    rs = ResizeImages(max_dim=16)(media).to_pandas()
+    img = rs[rs["kind"] == "image"].iloc[0]
+    assert max(img["width"], img["height"]) == 16
+    assert img["payload"][:4] == b"PXIM"  # header preserved
+
+    fr = SampleFrames(n_frames=3)(media).to_pandas()
+    assert set(fr["kind"]) == {"audio"}  # images not frame-sampled
+    assert list(fr["frame_index"]) == [0, 1, 2]
+    assert all(len(f) == 32 for f in fr["frame"])
