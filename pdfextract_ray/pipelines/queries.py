@@ -425,6 +425,16 @@ _DISTINCT_EVENT_TYPES_SQL = """
 SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 """
 
+_SAMPLE_DOCS_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE (doc_id & 7) = 0
+"""
+
+_UNION_EXTREMES_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE n_chars < 150
+UNION ALL
+SELECT doc_id, n_chars FROM documents WHERE n_chars > 450
+"""
+
 
 def build_queries() -> dict:
     from pdfextract_ray.pipelines import relational as rel
@@ -461,6 +471,8 @@ def build_queries() -> dict:
         "events_sessionize": rel.events_sessionize,
         "part_brand_stats": rel.part_brand_stats,
         "distinct_event_types": rel.distinct_event_types,
+        "sample_docs": rel.sample_docs,
+        "union_extremes": rel.union_extremes,
         "orders_by_status": rel.orders_by_status,
     }
 
@@ -480,5 +492,7 @@ def build_oracles() -> dict:
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "part_brand_stats": _PART_BRAND_SQL,
         "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,
+        "sample_docs": _SAMPLE_DOCS_SQL,
+        "union_extremes": _UNION_EXTREMES_SQL,
         "orders_by_status": _ORDERS_BY_STATUS_SQL,
     }

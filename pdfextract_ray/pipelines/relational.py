@@ -241,6 +241,32 @@ def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
+def sample_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 10% sample (hash-bucket filter — reproducible across
+    runs and partitionings, unlike RNG sampling; SQL-matched)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"),
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(7, pa.int64())),
+                        pa.scalar(0, pa.int64()))
+        return t.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def union_extremes(sf_dir: str) -> "ray.data.Dataset":
+    """Union of two filtered streams (shortest + longest docs)."""
+    cols = ["doc_id", "n_chars"]
+    a = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=cols) \
+        .map_batches(lambda t: t.filter(pc.less(t["n_chars"], 150)),
+                     batch_format="pyarrow")
+    b = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=cols) \
+        .map_batches(lambda t: t.filter(pc.greater(t["n_chars"], 450)),
+                     batch_format="pyarrow")
+    return a.union(b)
+
+
 def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
                                columns=["o_orderstatus", "o_totalprice"])
