@@ -169,6 +169,12 @@ def run_extract(corpus_path: str, out_dir: str, *,
         if shard in done:
             stats["shards_skipped"] += 1
             continue
+        sdir_existing = mf.shard_data_dir(out_dir, shard)
+        if os.path.isdir(sdir_existing):
+            # crashed mid-write: data without a manifest is partial —
+            # re-appending into it would duplicate rows on resume
+            import shutil
+            shutil.rmtree(sdir_existing)
         ds = read_corpus(shard_files)
         out = extract_dataset(ds, settings, num_partitions=num_partitions,
                               concurrency=concurrency, batch_size=batch_size,

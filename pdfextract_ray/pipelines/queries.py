@@ -425,6 +425,13 @@ _DISTINCT_EVENT_TYPES_SQL = """
 SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 """
 
+_ORDER_LINEITEM_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000.0 AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderstatus
+"""
+
 _SAMPLE_DOCS_SQL = """
 SELECT doc_id, lang, n_chars FROM documents WHERE (doc_id & 7) = 0
 """
@@ -466,6 +473,7 @@ def build_queries() -> dict:
         # relational
         "q1_pricing": rel.q1_pricing,
         "nation_revenue": rel.nation_revenue,
+        "order_lineitem_join": rel.order_lineitem_join,
         "top_docs": rel.top_docs,
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
@@ -487,6 +495,7 @@ def build_oracles() -> dict:
         "knn_cosine": _KNN_SQL,
         "q1_pricing": _Q1_SQL,
         "nation_revenue": _NATION_REVENUE_SQL,
+        "order_lineitem_join": _ORDER_LINEITEM_JOIN_SQL,
         "top_docs": _TOP_DOCS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,

@@ -241,6 +241,49 @@ def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
+def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
+    """Large ⋈ large: per-order revenue. The small side is REDUCED before
+    the join (partial pre-agg of lineitem per orderkey inside
+    map_batches, then a groupby over partials), so the hash join
+    (``Dataset.join``, hash-partitioned) moves one row per order per
+    side instead of every lineitem. Portable fallback at scale: bucket
+    both sides by hash(key) % B and join per bucket in map_groups
+    (ray_guide "Joins and lookups")."""
+    from ray.data.aggregate import Sum
+
+    items = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev,
+                      "n": pa.array([1] * t.num_rows, pa.int64())})
+        return (g.group_by("l_orderkey")
+                 .aggregate([("rev", "sum"), ("n", "sum")])
+                 .rename_columns(["l_orderkey", "rev", "n"]))
+
+    per_order = items.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(
+            Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
+
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"),
+                                   columns=["o_orderkey", "o_orderstatus"])
+    joined = orders.join(per_order, join_type="inner", num_partitions=8,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "n_items": t["n_items"],
+            "revenue": grid_round(t["revenue"]),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def sample_docs(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic 10% sample (hash-bucket filter — reproducible across
     runs and partitionings, unlike RNG sampling; SQL-matched)."""

@@ -92,6 +92,26 @@ def test_merge_bbox_is_union(ax, ay, aw, ah, bx, by, bw, bh):
     assert m["content"] == "aab"
 
 
+ref_body = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll"), max_codepoint=127),
+    min_size=8, max_size=40).map(lambda s: s + " (1999).")
+
+
+@given(st.lists(ref_body, min_size=5, max_size=12))
+@hsettings(max_examples=60, deadline=None)
+def test_split_by_delimiter_roundtrip(bodies):
+    """'[n] body' sequences split back into exactly the input bodies in
+    order (digit-free bodies → no delimiter confusion)."""
+    from pdfextract_ray.kernel.references import numeric_sequence, split_by_delimiter
+    from pdfextract_ray.settings import DEFAULT_SETTINGS as S
+
+    text = " ".join("[%d] %s" % (i + 1, b) for i, b in enumerate(bodies))
+    assert numeric_sequence(text, S)
+    refs = split_by_delimiter(text, S)
+    assert [r["order"] for r in refs] == list(range(1, len(bodies) + 1))
+    assert [r["content"] for r in refs] == [b.strip() for b in bodies]
+
+
 def test_corpus_subset_determinism():
     """Any subset of document rows generates identical pages regardless
     of partitioning (per-row seeding)."""

@@ -91,6 +91,22 @@ def test_resume_equals_fresh(ray_session, corpus_path, tmp_path):
     assert list(fa["n_refs"]) == list(fb["n_refs"])
 
 
+def test_resume_discards_partial_shard(ray_session, corpus_path, tmp_path):
+    """A crash between data write and manifest write must not duplicate
+    rows on resume: the manifest-less shard dir is discarded."""
+    from pdfextract_ray.pipelines.extract_pipeline import run_extract
+    out = str(tmp_path / "out")
+    run_extract(corpus_path, out, num_shards=2, concurrency=2)
+    # simulate crash: manifest for shard 0 missing, data present
+    os.remove(os.path.join(out, "_manifests", "shard-0000.json"))
+    s = run_extract(corpus_path, out, num_shards=2, concurrency=2)
+    assert s["shards_skipped"] == 1
+    files = sorted(glob.glob(os.path.join(out, "shard=*", "*.parquet")))
+    t = pq.read_table(files, columns=["url"])
+    urls = t.column("url").to_pylist()
+    assert len(urls) == 16 and len(set(urls)) == 16  # no duplicates
+
+
 def test_error_isolation(ray_session, gazetteer):
     """A poisoned row yields an error column, not a failed block."""
     import ray.data
