@@ -21,6 +21,6 @@ def gazetteer():
 
 @pytest.fixture(scope="session")
 def tiny_corpus():
-    """16 deterministic corpus rows derived from sf0.001 documents."""
+    """48 deterministic corpus rows derived from sf0.001 documents."""
     from pdfextract_ray.sources.corpus import corpus_table_local
-    return corpus_table_local("/root/testdata/sf0.001", limit=16)
+    return corpus_table_local("/root/testdata/sf0.001", limit=48)

@@ -69,7 +69,7 @@ def test_resume_equals_fresh(ray_session, corpus_path, tmp_path):
     resumed = str(tmp_path / "resumed")
 
     s1 = run_extract(corpus_path, fresh, num_shards=4, concurrency=2)
-    assert s1["rows"] == 16 and s1["errors"] == 0
+    assert s1["rows"] == 48 and s1["errors"] == 0
 
     # simulate a crash: run only shard 0+1 by pre-marking 2 and 3 done,
     # then unmark and resume
@@ -104,7 +104,7 @@ def test_resume_discards_partial_shard(ray_session, corpus_path, tmp_path):
     files = sorted(glob.glob(os.path.join(out, "shard=*", "*.parquet")))
     t = pq.read_table(files, columns=["url"])
     urls = t.column("url").to_pylist()
-    assert len(urls) == 16 and len(set(urls)) == 16  # no duplicates
+    assert len(urls) == 48 and len(set(urls)) == 48  # no duplicates
 
 
 def test_error_isolation(ray_session, gazetteer):

@@ -37,7 +37,7 @@ def canon_float(x):
 def main() -> None:
     os.makedirs(os.path.join(GOLDEN_DIR, "text"), exist_ok=True)
     gaz = load_gazetteer()
-    corpus = corpus_table_local("/root/testdata/sf0.001", limit=16)
+    corpus = corpus_table_local("/root/testdata/sf0.001", limit=48)
 
     summary = {}
     for i in range(corpus.num_rows):
