@@ -261,6 +261,27 @@ def tokenize(html: str | bytes) -> list[dict]:
     at_column_top = True
     prev_classes: tuple | None = None
 
+    # Leading <h1> blocks span the full content width above the column
+    # flow (like a real article title band) — a title wrapped inside a
+    # narrow column would y-align with neighbouring columns' lines and
+    # be merged away by the overlap pass (chunks.rb:85-107 has no x-gap
+    # check), losing its line-height to the title heuristic.
+    body_blocks = list(doc.body_blocks)
+    span_bottom = CONTENT_TOP
+    while body_blocks and body_blocks[0]["tag"] == "h1":
+        block = body_blocks.pop(0)
+        font, size, lh = TAG_METRICS["h1"]
+        char_w = CHAR_RATIO * size
+        full_w = CONTENT_X1 - CONTENT_X0
+        for line_words in _wrap_words(block["text"].split(), full_w, full_w,
+                                      char_w, char_w):
+            _emit_line(tokens, line_words, CONTENT_X0, y_cursor - size,
+                       font, size, lh, page)
+            y_cursor -= lh
+        y_cursor -= TAG_GAP["h1"]
+        span_bottom = y_cursor
+    first_page_top = span_bottom
+
     def emit_furniture(p: int) -> None:
         for block, y in ((doc.header_blocks, HEADER_TOKEN_Y),
                          (doc.footer_blocks, FOOTER_TOKEN_Y)):
@@ -271,7 +292,8 @@ def tokenize(html: str | bytes) -> list[dict]:
 
     emit_furniture(page)
 
-    for block in doc.body_blocks:
+    at_column_top = True
+    for block in body_blocks:
         tag = block["tag"]
         font, size, lh = TAG_METRICS.get(tag, DEFAULT_METRICS)
         classes = block["classes"]
@@ -303,7 +325,7 @@ def tokenize(html: str | bytes) -> list[dict]:
                     page += 1
                     col = 0
                     emit_furniture(page)
-                y_cursor = CONTENT_TOP
+                y_cursor = first_page_top if page == 1 else CONTENT_TOP
             x0 = col_x[col] + (indent if li > 0 else 0.0)
             token_y = y_cursor - size
             _emit_line(tokens, line_words, x0, token_y, font, size, lh, page)
