@@ -64,7 +64,8 @@ def minhash_signature(text: str) -> np.ndarray:
 
 
 def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
-                        text_col: str = "text") -> pa.Table:
+                        text_col: str = "text",
+                        shard_mask: int = 0xFF) -> pa.Table:
     """Emit one row per (doc, band): the LSH explode stage."""
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
@@ -86,7 +87,10 @@ def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
     # a groupby over millions of mostly-singleton buckets pays Ray's
     # per-group overhead; 256 shard-groups keep the shuffle shape while
     # the within-shard bucket grouping runs vectorized in pandas.
-    shards = [(bh ^ bi) & 0xFF for bi, bh in zip(band_ids, band_hashes)]
+    # shard_mask sizes the Ray-level group count: 256 groups suit one
+    # node; at cluster scale raise it (e.g. 0xFFFF) so each shard-group
+    # stays small enough for one map_groups task.
+    shards = [(bh ^ bi) & shard_mask for bi, bh in zip(band_ids, band_hashes)]
     return pa.table({
         "shard": pa.array(shards, pa.int32()),
         "band_id": pa.array(band_ids, pa.int32()),
@@ -160,6 +164,76 @@ def connected_components(pairs: "pd.DataFrame") -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def label_propagation_components(pairs_ds, max_iters: int = 8):
+    """Distributed connected components over a pair Dataset (a, b):
+    iterative min-label propagation — the 10^12-doc alternative to
+    driver-side union-find (ray_guide "Aggregation at scale").
+
+    Join-free formulation (Ray 2.49's hash join mishandles empty
+    partitions in iterated plans): each round unions the label rows
+    with the adjacency rows and groups by node — a group sees the
+    node's current min label AND its neighbors, so it broadcasts that
+    label to each neighbor; a Min-aggregate then folds the proposals.
+    Cluster diameters after near-dup verification are tiny, so few
+    rounds converge; ``max_iters`` bounds the worst case.
+
+    Returns a Dataset of (node, label), label = min node id in the
+    component.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = pc_cast(t["a"])
+        b = pc_cast(t["b"])
+        n = len(a)
+        return pa.table({
+            "node": pa.concat_arrays([a, b]),
+            "dst": pa.concat_arrays([b, a]),
+            "label": pa.array([None] * (2 * n), pa.int64()),
+        })
+
+    adjacency = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    labels = adjacency.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).groupby("node").aggregate(Min("label", alias_name="label"))
+
+    def as_state(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc_cast(t["node"]),
+            "dst": pa.array([None] * t.num_rows, pa.int64()),
+            "label": pc_cast(t["label"]),
+        })
+
+    def propose(df: pd.DataFrame) -> pd.DataFrame:
+        lab = int(df["label"].min())  # the node's current min label
+        dsts = df["dst"].dropna().astype("int64")
+        nodes = [int(df["node"].iloc[0])] + list(dsts)
+        return pd.DataFrame({"node": pd.Series(nodes, dtype="int64"),
+                             "label": pd.Series([lab] * len(nodes), dtype="int64")})
+
+    for _ in range(max_iters):
+        state = labels.map_batches(as_state, batch_format="pyarrow") \
+            .union(adjacency)
+        proposals = state.groupby("node").map_groups(propose, batch_format="pandas")
+        new_labels = proposals.groupby("node") \
+            .aggregate(Min("label", alias_name="label")).materialize()
+        old_sum = labels.sum("label")
+        labels = new_labels
+        if labels.sum("label") == old_sum:
+            break
+    return labels
+
+
+def pc_cast(arr):
+    import pyarrow.compute as pc
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.cast(arr, pa.int64())
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:
@@ -181,7 +255,7 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
-                  text_col: str = "text") -> pa.Table:
+                  text_col: str = "text", shard_mask: int = 0xFF) -> pa.Table:
     """Emit (doc_id, simhash, band_id, band_key) rows — 4×16-bit bands;
     two docs within Hamming distance 3 share ≥1 exact band."""
     ids = batch[id_col].to_pylist()
@@ -194,7 +268,7 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
             hashes.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 view
             band_ids.append(b)
             band_keys.append((h >> (16 * b)) & 0xFFFF)
-    shards = [(bk ^ bi) & 0xFF for bi, bk in zip(band_ids, band_keys)]
+    shards = [(bk ^ bi) & shard_mask for bi, bk in zip(band_ids, band_keys)]
     return pa.table({
         "shard": pa.array(shards, pa.int32()),
         "doc_id": pa.array(out_ids, pa.int64()),

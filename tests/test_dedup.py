@@ -71,6 +71,18 @@ def test_simhash_near_duplicates_low_hamming():
     assert D.simhash64(BASE) == ha  # deterministic
 
 
+def test_label_propagation_matches_union_find(ray_session):
+    import pandas as pd
+    import ray.data
+    pairs = pd.DataFrame({"a": [1, 2, 10, 20, 21], "b": [2, 3, 11, 21, 22]})
+    ds = ray.data.from_pandas(pairs)
+    labels = D.label_propagation_components(ds).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    comp = D.connected_components(pairs)
+    assert got == comp
+    assert got[3] == 1 and got[11] == 10 and got[22] == 20
+
+
 def test_ray_minhash_pipeline_plants(ray_session):
     """End-to-end over a Ray Dataset with planted dup clusters."""
     import ray.data
