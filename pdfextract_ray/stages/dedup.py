@@ -19,8 +19,9 @@ Training-data-pipeline dedup over a text column, Ray-Data-first:
   Hamming distance within buckets.
 
 Connected components run on the driver over the (small) verified-pair
-set; at 10^12-doc scale replace with a few rounds of min-label
-propagation (groupby doc_id over edge lists) — noted inline.
+set at test scale (``connected_components``); the cluster-scale path is
+:func:`label_propagation_components` — join-free min-label propagation
+with union + groupby(min) rounds, equivalence-tested against union-find.
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
     out_ids: list[int] = []
     sigs: list[bytes] = []
     for doc_id, text in zip(ids, texts):
-        sig = minhash_signature(text)
+        sig = minhash_signature(text or "")
         sig_bytes = sig.astype("<u8").tobytes()
         for b in range(NUM_BANDS):
             chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
@@ -262,7 +263,7 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
     texts = batch[text_col].to_pylist()
     out_ids, hashes, band_ids, band_keys = [], [], [], []
     for doc_id, text in zip(ids, texts):
-        h = simhash64(text)
+        h = simhash64(text or "")
         for b in range(4):
             out_ids.append(doc_id)
             hashes.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 view

@@ -45,7 +45,7 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     word_counts = np.empty(len(texts), dtype=np.int64)
     year_counts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        words = t.split()
+        words = (t or "").split()
         word_counts[i] = len(words)
         year_counts[i] = sum(1 for w in words if YEAR_WORD_RE.search(w))
     year_ratio = np.divide(year_counts, word_counts,
@@ -64,7 +64,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of the lowercased, whitespace-collapsed
     text (matches DuckDB ``md5(regexp_replace(lower(text),'\\s+',' ','g'))``)."""
     fps = [
-        hashlib.md5(WS_RE.sub(" ", t.lower()).encode("utf-8")).hexdigest()
+        hashlib.md5(WS_RE.sub(" ", (t or "").lower()).encode("utf-8")).hexdigest()
         for t in batch["text"].to_pylist()
     ]
     return pa.table({"doc_id": batch["doc_id"],
@@ -87,7 +87,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     n_stop = np.empty(len(texts), dtype=np.int64)
     sum_len = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        words = t.lower().split()
+        words = (t or "").lower().split()
         n_words[i] = len(words)
         n_stop[i] = sum(1 for w in words if w in sw)
         sum_len[i] = sum(len(w) for w in words)
@@ -128,7 +128,7 @@ class LangId:
         preds = []
         scores = []
         for t in batch["text"].to_pylist():
-            words = t.lower().split()
+            words = (t or "").lower().split()
             if not words:
                 preds.append("und")
                 scores.append(0.0)
