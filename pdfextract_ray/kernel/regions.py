@@ -102,24 +102,34 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
 
     regions: list[dict] = []
     compare_index = 1
+    # b (= chunks[0]) only changes on merge/flush — cache its hot fields
+    b = chunks[0] if chunks else None
     while len(chunks) > compare_index:
-        b = chunks[0]
+        b_lh = b["line_height"]
+        b_top = b["y"] + b["height"]
+        b_x1 = b["x"]
+        b_x2 = b_x1 + b["width"]
+
         t = chunks[compare_index]
+        t_h = t["height"]
+        line_slop = (b_lh if b_lh < t_h else t_h) * line_slop_setting
 
-        line_height = b["line_height"]
-        line_slop = min(line_height, t["height"]) * line_slop_setting
-        incident_y = (b["y"] + b["height"] + line_slop) >= t["y"]
-
-        if incident_y and _incident(t, b):
-            chunks[0] = _merge_regions(t, b)
-            del chunks[compare_index]
-            compare_index = 1
-        elif compare_index < len(chunks) - 1:
+        if (b_top + line_slop) >= t["y"]:
+            t_x1 = t["x"]
+            t_x2 = t_x1 + t["width"]
+            if (t_x1 <= b_x1 <= t_x2) or (t_x1 <= b_x2 <= t_x2) \
+                    or (b_x1 <= t_x1 <= b_x2) or (b_x1 <= t_x2 <= b_x2):
+                b = chunks[0] = _merge_regions(t, b)
+                del chunks[compare_index]
+                compare_index = 1
+                continue
+        if compare_index < len(chunks) - 1:
             compare_index += 1
         else:
             regions.append(chunks[0])
             del chunks[0]
             compare_index = 1
+            b = chunks[0] if chunks else None
 
     if chunks:
         regions.append(chunks[0])

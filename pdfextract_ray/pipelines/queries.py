@@ -9,9 +9,10 @@ column names). Non-SQL-expressible pipelines (extraction, MinHash,
 SimHash, LSH, lang-id, media decode) have no oracle → rows-only check.
 
 Float columns: per-row int/int divisions are bit-identical across
-engines (same IEEE operands) and are left exact; multi-row float
-aggregates are rounded to 2dp (sums) / 6dp (cosines) because summation
-order differs.
+engines (same IEEE operands) and are left exact; money/value SUMS are
+integerized per row (4-decimal ticks — see relational.to_ticks) so the
+int64 aggregation is order-independent and bit-exact in both engines;
+single-value floats (cosines) are grid-snapped at 1e-6.
 """
 
 from __future__ import annotations
@@ -363,9 +364,9 @@ def q_multimodal_frames(sf_dir: str):
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity) * 10000, 0) / 10000.0                        AS sum_qty,
-       round(sum(l_extendedprice) * 10000, 0) / 10000.0                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000.0 AS sum_disc_price,
+       SUM(CAST(round(l_quantity * 10000, 0) AS BIGINT)) / 10000.0                        AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 10000, 0) AS BIGINT)) / 10000.0                   AS sum_base_price,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS sum_disc_price,
        count(*)                                          AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -373,7 +374,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 _NATION_REVENUE_SQL = """
-SELECT n_name, round(sum(o_totalprice) * 10000, 0) / 10000.0 AS revenue, count(*) AS n_orders
+SELECT n_name, SUM(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0 AS revenue, count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -387,13 +388,13 @@ ORDER BY n_chars DESC, doc_id LIMIT 20
 
 _EVENTS_HOURLY_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
-       round(sum(value) * 10000, 0) / 10000.0 AS sum_value, count(*) AS n_events
+       SUM(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS sum_value, count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
 
 _ORDERS_BY_STATUS_SQL = """
 SELECT o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice) * 10000, 0) / 10000.0 AS total, max(o_totalprice) AS max_price
+       SUM(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0 AS total, max(o_totalprice) AS max_price
 FROM orders GROUP BY 1
 """
 
@@ -410,13 +411,13 @@ s AS (
   FROM d
 )
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-       round(sum(value) * 10000, 0) / 10000.0 AS sum_value
+       SUM(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS sum_value
 FROM s GROUP BY user_id, sid
 """
 
 _PART_BRAND_SQL = """
 SELECT p_brand, count(*) AS n_parts,
-       round(sum(p_retailprice) / count(*) * 10000, 0) / 10000.0 AS avg_price,
+       SUM(CAST(round(p_retailprice * 10000, 0) AS BIGINT)) / (count(*) * 10000.0) AS avg_price,
        min(p_size) AS min_size, max(p_size) AS max_size
 FROM part GROUP BY p_brand
 """
@@ -427,7 +428,7 @@ SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 
 _ORDER_LINEITEM_JOIN_SQL = """
 SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000.0 AS revenue
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey, o_orderstatus
 """

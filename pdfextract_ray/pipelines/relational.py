@@ -25,14 +25,27 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 
-def grid_round(col, scale: float = 10000.0):
-    """Snap a float aggregate to a 1/scale grid via integer rounding.
+SCALE = 10000.0
 
-    Cross-engine float sums differ in final ulps (summation order); plain
-    round(x, 2) then yields two different doubles near tie boundaries.
-    round(x*scale)/scale makes both engines compute the division of the
-    SAME integer by the same scale → bit-identical doubles (matching SQL
-    ``round(x * scale, 0) / scale``)."""
+
+def to_ticks(col):
+    """Per-ROW exact integerization: every money/value column in the
+    testdata is exact at 4 decimals, so round(x*1e4) recovers the true
+    integer tick count from the same double in ANY engine — and int64
+    sums are order-independent and bit-exact. (Rounding the float SUM
+    instead is not robust: cross-engine summation noise grows with
+    n·|sum|·eps and overwhelms any fixed grid for billion-scale totals.)
+    SQL equivalent: ``SUM(CAST(round(x * 10000, 0) AS BIGINT))``."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(SCALE))), pa.int64())
+
+
+def from_ticks(col):
+    return pc.divide(pc.cast(col, pa.float64()), pa.scalar(SCALE))
+
+
+def grid_round(col, scale: float = 10000.0):
+    """Snap a SINGLE float value (no cross-engine summation involved) to
+    a 1/scale grid; see to_ticks for aggregates."""
     return pc.divide(pc.round(pc.multiply(col, pa.scalar(scale))), pa.scalar(scale))
 
 
@@ -56,9 +69,9 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
         g = pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "qty": t["l_quantity"],
-            "base": t["l_extendedprice"],
-            "disc_price": disc_price,
+            "qty": to_ticks(t["l_quantity"]),
+            "base": to_ticks(t["l_extendedprice"]),
+            "disc_price": to_ticks(disc_price),
             "n": pa.array([1] * t.num_rows, pa.int64()),
         })
         return (g.group_by(["l_returnflag", "l_linestatus"])
@@ -79,9 +92,9 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "sum_qty": grid_round(t["sum_qty"]),
-            "sum_base_price": grid_round(t["sum_base_price"]),
-            "sum_disc_price": grid_round(t["sum_disc_price"]),
+            "sum_qty": from_ticks(t["sum_qty"]),
+            "sum_base_price": from_ticks(t["sum_base_price"]),
+            "sum_disc_price": from_ticks(t["sum_disc_price"]),
             "count_order": t["count_order"],
         })
 
@@ -106,7 +119,7 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
         names = [nmap[cmap[ck]] for ck in t["o_custkey"].to_pylist()]
         g = pa.table({
             "n_name": pa.array(names, pa.string()),
-            "revenue": t["o_totalprice"],
+            "revenue": to_ticks(t["o_totalprice"]),
             "n": pa.array([1] * t.num_rows, pa.int64()),
         })
         return (g.group_by("n_name")
@@ -121,7 +134,7 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
             "n_name": t["n_name"],
-            "revenue": grid_round(t["revenue"]),
+            "revenue": from_ticks(t["revenue"]),
             "n_orders": t["n_orders"],
         })
 
@@ -153,7 +166,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
         g = pa.table({
             "event_type": t["event_type"],
             "hour": hour,
-            "value": t["value"],
+            "value": to_ticks(t["value"]),
             "n": pa.array([1] * t.num_rows, pa.int64()),
         })
         return (g.group_by(["event_type", "hour"])
@@ -169,7 +182,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({
             "event_type": t["event_type"],
             "hour": t["hour"],
-            "sum_value": grid_round(t["sum_value"]),
+            "sum_value": from_ticks(t["sum_value"]),
             "n_events": t["n_events"],
         })
 
@@ -195,15 +208,16 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
+        g = g.assign(ticks=(g["value"] * 10000.0).round().astype("int64"))
         new_session = (g["ts"].diff() > gap).cumsum()
         out = g.groupby(new_session).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "first"),
             n_events=("ts", "size"),
-            sum_value=("value", "sum"),
+            sum_value=("ticks", "sum"),
         ).reset_index(drop=True)
         out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = (out["sum_value"] * 10000.0).round() / 10000.0
+        out["sum_value"] = out["sum_value"] / 10000.0
         return out
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
@@ -214,19 +228,27 @@ def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Count, Max, Min, Sum
     ds = ray.data.read_parquet(_pq(sf_dir, "part"),
                                columns=["p_brand", "p_retailprice", "p_size"])
-    rolled = ds.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"),
-        Sum("p_retailprice", alias_name="price_sum"),
-        Min("p_size", alias_name="min_size"),
-        Max("p_size", alias_name="max_size"),
+    def ticks(t: pa.Table) -> pa.Table:
+        return pa.table({"p_brand": t["p_brand"],
+                         "price_ticks": to_ticks(t["p_retailprice"]),
+                         "p_size": t["p_size"]})
+
+    rolled = ds.map_batches(ticks, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Count(alias_name="n_parts"),
+            Sum("price_ticks", alias_name="price_sum"),
+            Min("p_size", alias_name="min_size"),
+            Max("p_size", alias_name="max_size"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        avg = pc.divide(t["price_sum"], pc.cast(t["n_parts"], pa.float64()))
+        avg = pc.divide(pc.cast(t["price_sum"], pa.float64()),
+                        pc.multiply(pc.cast(t["n_parts"], pa.float64()),
+                                    pa.scalar(SCALE)))
         return pa.table({
             "p_brand": t["p_brand"],
             "n_parts": t["n_parts"],
-            "avg_price": grid_round(avg),
+            "avg_price": avg,
             "min_size": t["min_size"],
             "max_size": t["max_size"],
         })
@@ -258,7 +280,7 @@ def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
     def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        g = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev,
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rev": to_ticks(rev),
                       "n": pa.array([1] * t.num_rows, pa.int64())})
         return (g.group_by("l_orderkey")
                  .aggregate([("rev", "sum"), ("n", "sum")])
@@ -278,7 +300,7 @@ def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
             "o_orderkey": t["o_orderkey"],
             "o_orderstatus": t["o_orderstatus"],
             "n_items": t["n_items"],
-            "revenue": grid_round(t["revenue"]),
+            "revenue": from_ticks(t["revenue"]),
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
@@ -313,17 +335,24 @@ def union_extremes(sf_dir: str) -> "ray.data.Dataset":
 def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
                                columns=["o_orderstatus", "o_totalprice"])
-    rolled = ds.groupby("o_orderstatus").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="total"),
-        Max("o_totalprice", alias_name="max_price"),
+
+    def ticks(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "total_ticks": to_ticks(t["o_totalprice"]),
+                         "o_totalprice": t["o_totalprice"]})
+
+    rolled = ds.map_batches(ticks, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("total_ticks", alias_name="total"),
+            Max("o_totalprice", alias_name="max_price"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
             "o_orderstatus": t["o_orderstatus"],
             "n_orders": t["n_orders"],
-            "total": grid_round(t["total"]),
+            "total": from_ticks(t["total"]),
             "max_price": t["max_price"],
         })
 
