@@ -190,6 +190,32 @@ FROM w
 """ % stopwords_sql_list()
 
 
+def q_top_bigrams(sf_dir: str, k: int = 50):
+    """Global top-k word bigrams (partial Counter per batch → groupby
+    sum → sort+limit)."""
+    from ray.data.aggregate import Sum
+    from pdfextract_ray.stages.textstats import bigram_partials_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(bigram_partials_batch, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n")) \
+        .sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+_TOP_BIGRAMS_SQL = r"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w
+)
+SELECT bigram, count(*) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
 def q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     return _read(sf_dir, "documents", ["lang", "n_chars"]) \
@@ -459,6 +485,7 @@ def build_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
         "lang_counts": q_lang_counts,
+        "top_bigrams": q_top_bigrams,
         "lang_id": q_lang_id,
         # dedup
         "dedup_exact": q_dedup_exact,
@@ -492,6 +519,7 @@ def build_oracles() -> dict:
         "doc_fingerprint": _DOC_FP_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_counts": _LANG_COUNTS_SQL,
+        "top_bigrams": _TOP_BIGRAMS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "knn_cosine": _KNN_SQL,
         "q1_pricing": _Q1_SQL,

@@ -107,6 +107,22 @@ def stopwords_sql_list() -> str:
     return "[" + ", ".join("'%s'" % w for w in _STOPWORDS_SQL) + "]"
 
 
+def bigram_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch word-bigram counts (the combiner half of a distributed
+    n-gram frequency aggregation — the groupby shuffles one row per
+    distinct bigram per batch, never per occurrence)."""
+    from collections import Counter
+    counts: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        words = (t or "").lower().split()
+        counts.update("%s %s" % (words[i], words[i + 1])
+                      for i in range(len(words) - 1))
+    return pa.table({
+        "bigram": pa.array(list(counts.keys()), pa.string()),
+        "n": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------- lang id
 
 _LANG_MARKERS = {
