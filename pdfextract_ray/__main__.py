@@ -83,7 +83,8 @@ def main(argv=None) -> int:
         return 0
 
     import ray
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -120,7 +121,8 @@ def main(argv=None) -> int:
         print(json.dumps({"out": args.out, "ok": True}))
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -196,4 +196,7 @@ def run_extract(corpus_path: str, out_dir: str, *,
         stats["rows"] += int(rows)
         stats["errors"] += int(errors)
     stats["wall_sec"] = time.time() - t0
+    stats["docs_per_sec"] = round(stats["rows"] / stats["wall_sec"], 1) \
+        if stats["wall_sec"] > 0 and stats["rows"] else 0.0
+    mf._atomic_write_json(os.path.join(out_dir, "_RUN.json"), stats)
     return stats

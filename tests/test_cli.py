@@ -1,0 +1,50 @@
+"""CLI multiplexer drives (in-process; reuses the session Ray)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdfextract_ray.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(ray_session, tiny_corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_corpus")
+    pq.write_table(tiny_corpus.slice(0, 8), str(d / "part-0.parquet"))
+    return str(d)
+
+
+def test_cli_extract_job(cli_corpus, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    assert main(["extract", cli_corpus, "--out", out, "--shards", "2"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 8 and stats["errors"] == 0
+    assert os.path.exists(os.path.join(out, "_RUN.json"))
+    assert len(glob.glob(os.path.join(out, "shard=*", "*.parquet"))) > 0
+
+
+def test_cli_settings_override(cli_corpus, tmp_path, capsys):
+    out = str(tmp_path / "xml")
+    rc = main(["extract", cli_corpus, "--out", out, "--xml",
+               "--set", "reference_flex:0.3"])
+    assert rc == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert "xml" in t.schema.names
+    assert t.column("xml")[0].as_py().startswith("<pdf>")
+
+
+def test_cli_spans(cli_corpus, tmp_path, capsys):
+    out = str(tmp_path / "spans")
+    assert main(["spans", cli_corpus, "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert t.schema.names == ["url", "spans"]
+    assert len(t.column("spans")[0].as_py()) > 0
+
+
+def test_cli_settings_listing(capsys):
+    assert main(["settings"]) == 0
+    out = capsys.readouterr().out
+    assert "reference_flex" in out and "char_slop" in out
