@@ -126,6 +126,47 @@ def q_bibtex(sf_dir: str):
     ).select_columns(["url", "ref_order", "bibtex"])
 
 
+def q_curate_corpus(sf_dir: str):
+    """Composed training-data curation: extraction → quality filter
+    (has title, has refs, non-trivial text) → exact dedup on extracted
+    text (hash groupby keep-min-url) → curated rows. The end-to-end
+    shape a corpus-curation user runs daily."""
+    import hashlib
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    ds = _read_extracted(sf_dir, columns=["url", "title", "text", "lang",
+                                          "n_refs", "n_tokens", "error"])
+
+    def keep_quality(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t["title"]),
+                     pc.and_(pc.greater(t["n_refs"], 0),
+                             pc.greater(pc.utf8_length(
+                                 pc.fill_null(t["text"], "")), 200)))
+        return t.filter(pc.fill_null(ok, False))
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5((x or "").encode()).hexdigest()
+                  for x in t["text"].to_pylist()]
+        return t.append_column("text_hash", pa.array(hashes, pa.string()))
+
+    filtered = ds.map_batches(keep_quality, batch_format="pyarrow") \
+                 .map_batches(hash_text, batch_format="pyarrow")
+    keep = filtered.groupby("text_hash").aggregate(Min("url", alias_name="url"))
+    # keep-set is small → broadcast-filter instead of a join
+    import ray
+    keep_urls = set(keep.to_pandas()["url"])
+    keep_ref = ray.put(keep_urls)
+
+    def keep_rows(t: pa.Table, _ref=keep_ref) -> pa.Table:
+        urls = ray.get(_ref)
+        mask = pa.array([u in urls for u in t["url"].to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    return filtered.map_batches(keep_rows, batch_format="pyarrow") \
+        .select_columns(["url", "lang", "title", "n_refs", "n_tokens"])
+
+
 # ----------------------------------------------------------- text analysis
 
 def q_doc_stats(sf_dir: str):
@@ -480,6 +521,7 @@ def build_queries() -> dict:
         "extract_titles": q_extract_titles,
         "resolved_references": q_resolved_references,
         "bibtex": q_bibtex,
+        "curate_corpus": q_curate_corpus,
         # text analysis (oracled)
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
