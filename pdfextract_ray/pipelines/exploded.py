@@ -23,6 +23,7 @@ mega-documents (or route only oversized rows here and union).
 from __future__ import annotations
 
 import pickle
+import zlib
 
 import pandas as pd
 import pyarrow as pa
@@ -34,25 +35,38 @@ from pdfextract_ray.settings import DEFAULT_SETTINGS, Settings
 from pdfextract_ray.stages.extract import REF_TYPE
 
 
+NUM_URL_SHARDS = 1024
+
+
 def explode_batch(batch: pa.Table) -> pa.Table:
-    """corpus rows → one row per (url, page) carrying that page's lines."""
-    urls, langs, pages, payloads = [], [], [], []
+    """corpus rows → one row per (url, page) carrying that page's lines.
+
+    ``url_shard`` groups ~NUM_URL_SHARDS Ray-level reassembly groups
+    instead of one per url — same rationale as the LSH shard key: Ray's
+    per-group overhead dwarfs the work for millions of small groups;
+    the per-url grouping happens vectorized inside the shard group."""
+    import zlib
+    urls, langs, pages, payloads, shards = [], [], [], [], []
     for url, lang, html in zip(batch["url"].to_pylist(),
                                batch["lang"].to_pylist(),
                                batch["html"].to_pylist()):
         page_map = layout_pages(html if html is not None else b"")
+        shard = zlib.crc32(url.encode("utf-8")) % NUM_URL_SHARDS
         if not page_map:
             urls.append(url)
             langs.append(lang)
             pages.append(0)
-            payloads.append(pickle.dumps(None))
+            payloads.append(zlib.compress(pickle.dumps(None), 1))
+            shards.append(shard)
             continue
         for page_no, lines in page_map.items():
             urls.append(url)
             langs.append(lang)
             pages.append(page_no)
-            payloads.append(pickle.dumps(lines, protocol=pickle.HIGHEST_PROTOCOL))
+            payloads.append(zlib.compress(pickle.dumps(lines, protocol=pickle.HIGHEST_PROTOCOL), 1))
+            shards.append(shard)
     return pa.table({
+        "url_shard": pa.array(shards, pa.int32()),
         "url": pa.array(urls, pa.string()),
         "lang": pa.array(langs, pa.string()),
         "page": pa.array(pages, pa.int32()),
@@ -69,10 +83,11 @@ class PageWorker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         results = []
         for payload in batch["lines"].to_pylist():
-            lines = pickle.loads(payload)
+            lines = pickle.loads(zlib.decompress(payload))
             pr = process_page(lines, self.settings) if lines else None
-            results.append(pickle.dumps(pr, protocol=pickle.HIGHEST_PROTOCOL))
+            results.append(zlib.compress(pickle.dumps(pr, protocol=pickle.HIGHEST_PROTOCOL), 1))
         return pa.table({
+            "url_shard": batch["url_shard"],
             "url": batch["url"],
             "lang": batch["lang"],
             "page": batch["page"],
@@ -93,22 +108,27 @@ def _gazetteer() -> dict:
 
 
 def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> pd.DataFrame:
-    """groupby(url).map_groups fn: reassemble one document."""
-    df = df.sort_values("page")
-    page_results = [pickle.loads(b) for b in df["result"]]
-    page_results = [pr for pr in page_results if pr is not None]
-    res = assemble_document(page_results, settings, _gazetteer())
-    return pd.DataFrame({
-        "url": [df["url"].iloc[0]],
-        "lang": [df["lang"].iloc[0]],
-        "title": [res.title],
-        "text": [res.text],
-        "references": [[{"content": r["content"], "order": r.get("order")}
-                        for r in res.references]],
-        "n_pages": [res.n_pages],
-        "n_tokens": [res.n_tokens],
-        "n_refs": [len(res.references)],
-    })
+    """Reassemble every document of one url shard (groupby(url_shard)
+    group; per-url grouping happens here in pandas)."""
+    gaz = _gazetteer()
+    rows: dict[str, list] = {"url": [], "lang": [], "title": [], "text": [],
+                             "references": [], "n_pages": [], "n_tokens": [],
+                             "n_refs": []}
+    for url, g in df.groupby("url", sort=True):
+        g = g.sort_values("page")
+        page_results = [pickle.loads(zlib.decompress(b)) for b in g["result"]]
+        page_results = [pr for pr in page_results if pr is not None]
+        res = assemble_document(page_results, settings, gaz)
+        rows["url"].append(url)
+        rows["lang"].append(g["lang"].iloc[0])
+        rows["title"].append(res.title)
+        rows["text"].append(res.text)
+        rows["references"].append([{"content": r["content"], "order": r.get("order")}
+                                   for r in res.references])
+        rows["n_pages"].append(res.n_pages)
+        rows["n_tokens"].append(res.n_tokens)
+        rows["n_refs"].append(len(res.references))
+    return pd.DataFrame(rows)
 
 
 def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
@@ -125,7 +145,7 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
         fn_constructor_kwargs=dict(settings=settings),
         concurrency=concurrency, num_cpus=1,
     )
-    return processed.groupby("url").map_groups(
+    return processed.groupby("url_shard").map_groups(
         assemble_group, batch_format="pandas",
         fn_kwargs=dict(settings=settings),
     )
