@@ -48,3 +48,23 @@ def test_cli_settings_listing(capsys):
     assert main(["settings"]) == 0
     out = capsys.readouterr().out
     assert "reference_flex" in out and "char_slop" in out
+
+
+def test_cli_exploded_variant(cli_corpus, tmp_path, capsys):
+    out = str(tmp_path / "exploded")
+    assert main(["extract", cli_corpus, "--out", out, "--exploded"]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert t.num_rows == 8
+    assert "text" in t.schema.names
+
+
+def test_cli_html_dir(ray_session, tiny_corpus, tmp_path, capsys):
+    d = tmp_path / "html"
+    d.mkdir()
+    for i in range(3):
+        (d / ("doc%d.html" % i)).write_bytes(tiny_corpus.column("html")[i].as_py())
+    out = str(tmp_path / "out")
+    assert main(["extract", str(d), "--html-dir", "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert t.num_rows == 3
+    assert all(u.startswith("file://") for u in t.column("url").to_pylist())

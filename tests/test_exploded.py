@@ -32,3 +32,23 @@ def test_exploded_equals_fused(ray_session, corpus_path):
     for a, b in zip(fused["references"], expl["references"]):
         assert [(r["content"], r["order"]) for r in a] == \
                [(r["content"], r["order"]) for r in b]
+
+
+def test_exploded_handles_empty_and_null_html(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from datetime import datetime
+    from pdfextract_ray.pipelines.exploded import extract_exploded
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        {"url": "ok", "warc_ts": ts, "html": b"<p>hello world</p>", "lang": "en"},
+        {"url": "empty", "warc_ts": ts, "html": b"", "lang": "en"},
+        {"url": "null", "warc_ts": ts, "html": None, "lang": "en"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = extract_exploded(ds, concurrency=2).to_pandas().set_index("url")
+    assert out.loc["ok", "text"] == "hello world"
+    assert out.loc["empty", "text"] == ""
+    assert out.loc["null", "text"] == ""
+    assert len(out) == 3

@@ -75,3 +75,28 @@ def test_xml_row_rendering():
     assert '<reference order="1">Ref one</reference>' in xml
     assert "<reference>Ref two</reference>" in xml
     assert '<region x="72" y="700.12" width="140" height="10.5"/>' in xml
+
+
+def test_custom_user_stage_plugs_in(ray_session, tiny_corpus):
+    """User-extension surface: any fn(ds, ctx)->ds registers and chains."""
+    import pyarrow as pa
+    import ray.data
+    from pdfextract_ray.registry import default_registry
+
+    reg = default_registry()
+
+    def s_truncate(ds, ctx):
+        n = ctx.get("truncate_chars", 40)
+
+        def tr(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.set_column(t.schema.get_field_index("text"), "text",
+                                pc.utf8_slice_codeunits(t["text"], 0, n))
+        return ds.map_batches(tr, batch_format="pyarrow")
+
+    reg.register("truncate", s_truncate, deps=("extract",),
+                 description="clip extracted text")
+    ds = ray.data.from_arrow(tiny_corpus.slice(0, 4))
+    out = reg.build(ds, ["truncate"], {"truncate_chars": 10,
+                                       "concurrency": 2}).to_pandas()
+    assert all(len(t) <= 10 for t in out["text"].fillna(""))
