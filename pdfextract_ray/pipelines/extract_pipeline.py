@@ -151,8 +151,15 @@ def run_extract(corpus_path: str, out_dir: str, *,
                 concurrency: int | tuple | None = None,
                 batch_size: int = DEFAULT_BATCH_SIZE,
                 skew_threshold: int | None = DEFAULT_SKEW_THRESHOLD,
-                compute_metrics: bool = True) -> dict:
-    """Run (or resume) the extraction job. Returns run stats."""
+                compute_metrics: bool = True,
+                parallel_shards: int = 1) -> dict:
+    """Run (or resume) the extraction job. Returns run stats.
+
+    ``parallel_shards`` overlaps shard pipelines (each is an independent
+    Ray Data execution): useful when shards are small relative to
+    pipeline spin-up (small corpora / many shards). At real scale one
+    shard saturates the cluster, so 1 keeps failure domains separate.
+    """
     files = corpus_files(corpus_path)
     if not files:
         raise FileNotFoundError("no parquet files under %s" % corpus_path)
@@ -165,10 +172,15 @@ def run_extract(corpus_path: str, out_dir: str, *,
     stats = {"shards_total": num_shards, "shards_skipped": 0, "rows": 0,
              "errors": 0, "wall_sec": 0.0}
     t0 = time.time()
-    for shard, shard_files in shards.items():
-        if shard in done:
-            stats["shards_skipped"] += 1
-            continue
+
+    if parallel_shards > 1 and concurrency is None:
+        # split the actor budget across concurrently running shards
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        per = max(1, (ncpu * 3 // 4) // parallel_shards)
+        concurrency = (per, per)
+
+    def run_shard(shard: int, shard_files: list[str]) -> tuple[int, int]:
         sdir_existing = mf.shard_data_dir(out_dir, shard)
         if os.path.isdir(sdir_existing):
             # crashed mid-write: data without a manifest is partial —
@@ -183,18 +195,44 @@ def run_extract(corpus_path: str, out_dir: str, *,
         out.write_parquet(sdir)
 
         metrics = _shard_metrics(sdir) if compute_metrics else []
-        rows = sum(m["rows"] for m in metrics)
-        errors = sum(m["errors"] for m in metrics)
+        rows = int(sum(m["rows"] for m in metrics))
+        errors = int(sum(m["errors"] for m in metrics))
         mf.write_shard_metrics(out_dir, shard, metrics)
         mf.write_shard_manifest(out_dir, shard, {
             "shard": shard,
             "files": [os.path.basename(f) for f in shard_files],
-            "rows": int(rows),
-            "errors": int(errors),
+            "rows": rows,
+            "errors": errors,
             "partitions": len(metrics),
         })
-        stats["rows"] += int(rows)
-        stats["errors"] += int(errors)
+        return rows, errors
+
+    todo = [(s, f) for s, f in shards.items() if s not in done]
+    stats["shards_skipped"] = num_shards - len(todo)
+    if parallel_shards > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        # Ray's read path lazy-imports fsspec.implementations.http per
+        # call and only catches ModuleNotFoundError; when aiohttp is
+        # absent, concurrent failed imports across shard threads surface
+        # as plain ImportError and crash the read. Pre-seed a stub module
+        # whose sentinel class never matches a real filesystem.
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ImportError:
+            import sys as _sys
+            import types as _types
+            _stub = _types.ModuleType("fsspec.implementations.http")
+            _stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+            _sys.modules["fsspec.implementations.http"] = _stub
+        with ThreadPoolExecutor(max_workers=parallel_shards) as pool:
+            for rows, errors in pool.map(lambda sf: run_shard(*sf), todo):
+                stats["rows"] += rows
+                stats["errors"] += errors
+    else:
+        for shard, shard_files in todo:
+            rows, errors = run_shard(shard, shard_files)
+            stats["rows"] += rows
+            stats["errors"] += errors
     stats["wall_sec"] = time.time() - t0
     stats["docs_per_sec"] = round(stats["rows"] / stats["wall_sec"], 1) \
         if stats["wall_sec"] > 0 and stats["rows"] else 0.0

@@ -124,3 +124,21 @@ def test_error_isolation(ray_session, gazetteer):
     assert out.loc["u1", "error"] is None
     assert out.loc["u2", "error"] is not None
     assert out.loc["u1", "text"] == "fine"
+
+
+def test_parallel_shards_equals_sequential(ray_session, corpus_path, tmp_path):
+    from pdfextract_ray.pipelines.extract_pipeline import run_extract
+    seq = str(tmp_path / "seq")
+    par = str(tmp_path / "par")
+    run_extract(corpus_path, seq, num_shards=4, concurrency=2)
+    s = run_extract(corpus_path, par, num_shards=4, parallel_shards=2,
+                    concurrency=1)
+    assert s["rows"] == 48 and s["errors"] == 0
+
+    def load(d):
+        files = sorted(glob.glob(os.path.join(d, "shard=*", "*.parquet")))
+        return pq.read_table(files, columns=["url", "text"]).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+
+    a, b = load(seq), load(par)
+    assert list(a["text"]) == list(b["text"])
