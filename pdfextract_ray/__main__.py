@@ -58,6 +58,7 @@ def main(argv=None) -> int:
                         help="corpus is a directory of raw .html files")
         sp.add_argument("--num-cpus", type=int, default=None)
         sp.add_argument("--shards", type=int, default=4)
+        sp.add_argument("--parallel-shards", type=int, default=1)
         sp.add_argument("--no-resume", action="store_true")
         sp.add_argument("--exploded", action="store_true",
                         help="page-exploded variant for mega-documents")
@@ -97,7 +98,8 @@ def main(argv=None) -> int:
             # full resumable job with manifests + metrics
             from pdfextract_ray.pipelines.extract_pipeline import run_extract
             stats = run_extract(args.corpus, args.out, settings=settings,
-                                num_shards=args.shards, resume=not args.no_resume)
+                                num_shards=args.shards, resume=not args.no_resume,
+                                parallel_shards=args.parallel_shards)
             print(json.dumps(stats))
             return 0
 
