@@ -115,6 +115,18 @@ def extract_dataset(ds: "ray.data.Dataset", settings: Settings = DEFAULT_SETTING
              .map_batches(ExtractDocs, batch_size=None, **kwargs)
 
 
+def dedup_by_url(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact per-url dedup: keep the first row per url (idempotent
+    re-runs over overlapping crawls — SURVEY.md §2.6). Hash-partitioned
+    groupby; only (url, row) pairs of colliding urls concentrate."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return ds.groupby("url").map_groups(first, batch_format="pandas")
+
+
 def _shard_metrics(shard_dir: str) -> list[dict]:
     """Per-partition lineage counters from a pruned read-back."""
     cols = ["partition_id", "n_refs", "n_tokens", "n_pages", "error"]

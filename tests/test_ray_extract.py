@@ -142,3 +142,17 @@ def test_parallel_shards_equals_sequential(ray_session, corpus_path, tmp_path):
 
     a, b = load(seq), load(par)
     assert list(a["text"]) == list(b["text"])
+
+
+def test_dedup_by_url_idempotent_reruns(ray_session, corpus_path):
+    """Overlapping crawls (the corpus unioned with itself) collapse to
+    one row per url."""
+    from pdfextract_ray.pipelines.extract_pipeline import (dedup_by_url,
+                                                           extract_dataset,
+                                                           read_corpus)
+    ds = read_corpus(corpus_path).union(read_corpus(corpus_path))
+    out = extract_dataset(ds, concurrency=2, with_spans=False,
+                          skew_threshold=None)
+    deduped = dedup_by_url(out).to_pandas()
+    assert len(deduped) == 48
+    assert deduped["url"].is_unique
