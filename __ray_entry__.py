@@ -12,8 +12,16 @@ The driver initialises Ray BEFORE importing this module; nothing here
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may import this module by file path; make sure the repo
+# root (where the pdfextract_ray package lives) is importable
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 from pdfextract_ray.pipelines.queries import build_oracles, build_queries
 
