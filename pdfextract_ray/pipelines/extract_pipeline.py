@@ -16,11 +16,10 @@ Design notes for 10^12-doc scale:
   unfinished shards (no read amplification, no per-url anti-join).
   Within a shard, work is fully streaming with backpressure.
 - **Skew**: rows whose ``html`` exceeds ``skew_threshold`` bytes are
-  processed in their own branch with ``batch_size=1`` so one 20 MB page
-  never stalls a 64-row batch (north rule: "skew-aware splitting of
-  oversized rows before the hot tokenize/classify stage"). Both
-  branches share the actor class; the split is a vectorized Arrow
-  filter.
+  re-blocked into singleton batches by a generator ``size_router`` in
+  the SAME pass (no second read), so one 20 MB page never stalls a
+  64-row batch (north rule: "skew-aware splitting of oversized rows
+  before the hot tokenize/classify stage").
 - **Metrics** aggregate per ``partition_id`` (crc32(url) hash space)
   from a column-pruned read-back of the freshly written shard —
   touching 4 int columns, not the text — then a tiny groupby over
