@@ -373,9 +373,38 @@ FROM r WHERE rank <= 5
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Near-duplicate vector pairs via multi-table hyperplane LSH.
+
+    The driver's embeddings are uniform-random (max pairwise cosine
+    ≈ 0.48 — no true near-dups), so the corpus is deterministically
+    AUGMENTED with slightly perturbed copies of the 20 lowest vec_ids
+    (id + 1_000_000; noise seeded per id). The query must recover
+    exactly those planted pairs — a self-verifying recall check."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
     from pdfextract_ray.stages.similarity import (cosine_pairs_group,
                                                   hyperplane_bucket_batch)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    base = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = base["vec_id"].to_pylist()
+    low = sorted(range(len(ids)), key=lambda i: ids[i])[:20]
+    emb = base["embedding"].combine_chunks()
+    pert_ids, pert_vecs = [], []
+    for i in low:
+        vid = ids[i]
+        rng = np.random.RandomState(vid + 99)
+        v = np.asarray(emb[i].as_py(), dtype=np.float32)
+        pert_vecs.append((v + rng.standard_normal(v.shape).astype(np.float32)
+                          * 0.01).tolist())
+        pert_ids.append(vid + 1_000_000)
+    planted = pa.table({
+        "vec_id": pa.array(pert_ids, pa.int64()),
+        "embedding": pa.array(pert_vecs, base.schema.field("embedding").type),
+    })
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .union(ray.data.from_arrow(planted))
     buckets = ds.map_batches(lambda t: hyperplane_bucket_batch(t, dim=64),
                              batch_format="pyarrow")
     pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
