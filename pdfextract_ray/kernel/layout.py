@@ -203,7 +203,12 @@ def _emit_line(tokens: list[dict], words: list[str], x0: float, y: float,
     sweep needs at LINE BOUNDARIES: first-glyph width (Ruby
     ``row.first[:width]``), last-alnum-glyph width (the running
     char_width after the line), and the glyph count. ``to_glyphs``
-    reconstructs the exact per-glyph stream for parity tests."""
+    reconstructs the exact per-glyph stream for parity tests.
+
+    Assumption (holds by construction here): same-y lines never overlap
+    in x — columns have disjoint x-ranges and a column's y-cursor
+    strictly decreases — so a row's glyphs group contiguously by line.
+    The fuzzed equivalence test enforces exactly this invariant."""
     char_w = CHAR_RATIO * size
     n_glyphs = sum(len(w) for w in words)
     n_advances = n_glyphs + (len(words) - 1)  # spaces advance, no glyph

@@ -335,6 +335,47 @@ def q_dedup_simhash(sf_dir: str):
                                    "hamming": pa.array([], pa.int64())})
 
 
+def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
+    """MinHash-LSH candidates verified with EXACT n-gram Jaccard: the
+    candidate texts (a tiny residue of the corpus) are broadcast once
+    via ray.put and each pair re-checked against the true shingle sets
+    — the estimate→verify pattern for production dedup."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+    from pdfextract_ray.stages.dedup import (minhash_bands_batch, ngram_jaccard,
+                                             shard_pairs_group)
+
+    bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(minhash_bands_batch, batch_format="pyarrow")
+    pairs = bands.groupby("shard") \
+        .map_groups(shard_pairs_group, batch_format="pandas").to_pandas()
+    if not len(pairs):
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    pairs = pairs.drop_duplicates(["a", "b"])
+
+    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+    import pyarrow.parquet as pq
+    docs = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    mask = pc.is_in(docs["doc_id"], value_set=pa.array(cand_ids, pa.int64()))
+    cand = docs.filter(mask)
+    texts_ref = ray.put(dict(zip(cand["doc_id"].to_pylist(),
+                                 cand["text"].to_pylist())))
+
+    pairs_ds = ray.data.from_pandas(pairs[["a", "b"]])
+
+    def verify(t: pa.Table, _ref=texts_ref) -> pa.Table:
+        texts = ray.get(_ref)
+        jac = [round(ngram_jaccard(texts.get(a, "") or "", texts.get(b, "") or ""), 6)
+               for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
+        out = t.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- similarity
 
 def q_knn_cosine(sf_dir: str):
@@ -561,6 +602,7 @@ def build_queries() -> dict:
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_simhash": q_dedup_simhash,
         # similarity
         "knn_cosine": q_knn_cosine,
