@@ -104,13 +104,32 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
     compare_index = 1
     # b (= chunks[0]) only changes on merge/flush — cache its hot fields
     b = chunks[0] if chunks else None
+    b_lh = b_top = b_x1 = b_x2 = b_reach = 0.0
+    fresh_b = True
     while len(chunks) > compare_index:
-        b_lh = b["line_height"]
-        b_top = b["y"] + b["height"]
-        b_x1 = b["x"]
-        b_x2 = b_x1 + b["width"]
+        if fresh_b:
+            b_lh = b["line_height"]
+            b_top = b["y"] + b["height"]
+            b_x1 = b["x"]
+            b_x2 = b_x1 + b["width"]
+            # pruning bound: chunks[1:] stay ascending in y, and the slop
+            # is at most b_lh*line_slop (min(b_lh, t_h) <= b_lh) — once a
+            # candidate's y exceeds this reach, no later candidate can be
+            # y-incident either, so the scan's outcome is a flush.
+            # Strictly equivalent to the reference's scan-to-the-end
+            # (regions.rb:77-98); bound valid for non-negative slops.
+            b_reach = (b_top + b_lh * line_slop_setting) \
+                if line_slop_setting >= 0 else float("inf")
+            fresh_b = False
 
         t = chunks[compare_index]
+        if b_reach < t["y"]:
+            regions.append(chunks[0])
+            del chunks[0]
+            compare_index = 1
+            b = chunks[0] if chunks else None
+            fresh_b = True
+            continue
         t_h = t["height"]
         line_slop = (b_lh if b_lh < t_h else t_h) * line_slop_setting
 
@@ -122,6 +141,7 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
                 b = chunks[0] = _merge_regions(t, b)
                 del chunks[compare_index]
                 compare_index = 1
+                fresh_b = True
                 continue
         if compare_index < len(chunks) - 1:
             compare_index += 1
@@ -130,6 +150,7 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
             del chunks[0]
             compare_index = 1
             b = chunks[0] if chunks else None
+            fresh_b = True
 
     if chunks:
         regions.append(chunks[0])
