@@ -413,6 +413,41 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-k: train a seeded coarse quantizer on a
+    sample, assign cells, probe nprobe cells per query. Approximate by
+    design (recall < 1 vs knn_cosine) but deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    from pdfextract_ray.stages.ivf import (IvfTopKPartial, assign_cells_batch,
+                                           train_centroids)
+    from pdfextract_ray.stages.similarity import topk_merge_group
+
+    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_pylist()
+    col = emb["embedding"].combine_chunks()
+    # deterministic training sample: 256 lowest vec_ids
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:256]
+    sample = np.stack([np.asarray(col[i].as_py()) for i in order])
+    centroids_ref = ray.put(train_centroids(sample))
+
+    q_idx = [i for i, v in enumerate(ids) if v < 10]
+    qmat = np.stack([np.asarray(col[i].as_py()) for i in q_idx])
+    queries_ref = ray.put(([ids[i] for i in q_idx], qmat))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = ds.map_batches(assign_cells_batch, batch_format="pyarrow",
+                              fn_kwargs=dict(centroids_ref=centroids_ref))
+    partials = assigned.map_batches(
+        IvfTopKPartial, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=queries_ref,
+                                   centroids_ref=centroids_ref, k=5, nprobe=4),
+        concurrency=(1, 4))
+    return partials.groupby("query_id").map_groups(topk_merge_group,
+                                                   batch_format="pandas")
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Near-duplicate vector pairs via multi-table hyperplane LSH.
 
@@ -606,6 +641,7 @@ def build_queries() -> dict:
         "dedup_simhash": q_dedup_simhash,
         # similarity
         "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         # multimodal plumbing
         "multimodal_decode": q_multimodal_decode,

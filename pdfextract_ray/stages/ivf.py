@@ -1,0 +1,88 @@
+"""IVF (inverted-file) approximate nearest neighbour — the coarse-
+quantizer scale path for similarity search.
+
+Shape: a small deterministic k-means (trained driver-side on a sampled
+subset, seeded) partitions vectors into ``nlist`` cells; an assignment
+``map_batches`` tags every vector with its cell; a query probes only the
+``nprobe`` nearest cells, so the scan touches ~nprobe/nlist of the
+corpus instead of all of it. Complements the hyperplane-LSH variant
+(stages/similarity.py): IVF gives tunable recall/cost via nprobe; LSH
+gives constant-time bucketing without training.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pdfextract_ray.stages.similarity import _normalize, batch_matrix
+
+IVF_SEED = 4242
+
+
+def train_centroids(sample: np.ndarray, nlist: int = 16,
+                    iters: int = 10) -> np.ndarray:
+    """Deterministic mini k-means (cosine space: normalized + spherical)."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(IVF_SEED)
+    centroids = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def assign_cells_batch(batch: pa.Table, centroids_ref) -> pa.Table:
+    import ray
+    centroids = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) \
+        else centroids_ref
+    mat = _normalize(batch_matrix(batch))
+    cells = (mat @ centroids.T).argmax(axis=1).astype(np.int32)
+    return pa.table({
+        "cell": pa.array(cells, pa.int32()),
+        "vec_id": batch["vec_id"],
+        "embedding": batch["embedding"],
+    })
+
+
+class IvfTopKPartial:
+    """Per-batch top-k over rows whose cell is probed by each query."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int = 5,
+                 nprobe: int = 4) -> None:
+        import ray
+        self.q_ids, qmat = ray.get(queries_ref)
+        self.qn = _normalize(np.asarray(qmat, dtype=np.float64))
+        centroids = ray.get(centroids_ref)
+        sims = self.qn @ centroids.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        self.probed = [set(row.tolist()) for row in order]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(batch_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi, q_id in enumerate(self.q_ids):
+            mask = np.isin(cells, list(self.probed[qi]))
+            if not mask.any():
+                continue
+            sub = mat[mask]
+            sub_ids = ids[mask]
+            sims = sub @ self.qn[qi]
+            k = min(self.k, len(sub_ids))
+            order = np.lexsort((sub_ids, -sims))[:k]
+            out_q.extend([q_id] * len(order))
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })

@@ -68,3 +68,19 @@ def test_lsh_near_dup_finds_planted(ray_session):
 def test_normalize_zero_vector_safe():
     out = S._normalize(np.zeros((2, 4)))
     assert not np.isnan(out).any()
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    """IVF with nprobe=4/16 cells recovers most brute-force neighbors."""
+    from pdfextract_ray.pipelines.queries import q_knn_cosine, q_knn_ivf
+    sf = "/root/testdata/sf0.001"
+    exact = q_knn_cosine(sf).to_pandas()
+    approx = q_knn_ivf(sf).to_pandas()
+    exact_set = set(zip(exact["query_id"], exact["vec_id"]))
+    approx_set = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    # deterministic across runs
+    approx2 = q_knn_ivf(sf).to_pandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .equals(approx2.sort_values(["query_id", "rank"]).reset_index(drop=True))
