@@ -126,6 +126,28 @@ def q_bibtex(sf_dir: str):
     ).select_columns(["url", "ref_order", "bibtex"])
 
 
+def q_extraction_metrics(sf_dir: str):
+    """Per-partition lineage counters of the flagship run (the north
+    rule's audit surface): one row per (shard, partition_id) with
+    rows/refs/tokens/pages/errors, read from the job's _metrics
+    manifests."""
+    import json
+    out_dir = ensure_extracted(sf_dir)
+    from pdfextract_ray.state.manifest import metrics_dir
+    rows = []
+    mdir = metrics_dir(out_dir)
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        shard = int(name[6:-5])
+        with open(os.path.join(mdir, name), encoding="utf-8") as f:
+            payload = json.load(f)
+        for p in payload.get("partitions", []):
+            rows.append({"shard": shard, **{k: int(v) for k, v in p.items()}})
+    import pandas as pd
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
 def q_curate_corpus(sf_dir: str):
     """Composed training-data curation: extraction → quality filter
     (has title, has refs, non-trivial text) → exact dedup on extracted
@@ -627,6 +649,7 @@ def build_queries() -> dict:
         "resolved_references": q_resolved_references,
         "bibtex": q_bibtex,
         "curate_corpus": q_curate_corpus,
+        "extraction_metrics": q_extraction_metrics,
         # text analysis (oracled)
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
