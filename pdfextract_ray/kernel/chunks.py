@@ -176,21 +176,23 @@ def build_chunks_from_lines(lines: list[dict], settings: Settings) -> list[dict]
 
 
 def _overlap_merge(text_chunks: list[dict], overlap_slop: float) -> list[dict]:
-    # -- cross-row overlap merge (chunks.rb:85-107)
+    # -- cross-row overlap merge (chunks.rb:85-107). The reference's
+    # head-of-list loop (compare [0] vs [1]; merge into [0] or flush [0])
+    # is exactly a linear fold over the x-sorted list — same pair
+    # comparisons in the same order, without O(n^2) list shifting.
     text_chunks.sort(key=lambda obj: obj["x"])  # stable, like sort_by!
     merged: list[dict] = []
-    while len(text_chunks) > 1:
-        left = text_chunks[0]
-        right = text_chunks[1]
-        min_h = min(left["height"], right["height"])
-        overlap = (min_h - abs(left["y"] - right["y"])) / min_h
+    acc = text_chunks[0]
+    for k in range(1, len(text_chunks)):
+        right = text_chunks[k]
+        min_h = min(acc["height"], right["height"])
+        overlap = (min_h - abs(acc["y"] - right["y"])) / min_h
         if overlap >= overlap_slop:
-            text_chunks[0] = spatial.merge(left, right)
-            del text_chunks[1]
+            acc = spatial.merge(acc, right)
         else:
-            merged.append(text_chunks[0])
-            del text_chunks[0]
-    merged.append(text_chunks[0])
+            merged.append(acc)
+            acc = right
+    merged.append(acc)
 
     # -- drop whitespace-only chunks (chunks.rb:111)
     return [c for c in merged if c["content"].strip() != ""]
@@ -245,21 +247,4 @@ def build_chunks(tokens: list[dict], settings: Settings) -> list[dict]:
                 char_width = right["width"]
         text_chunks.append(acc.to_chunk())
 
-    # -- cross-row overlap merge (chunks.rb:85-107)
-    text_chunks.sort(key=lambda obj: obj["x"])  # stable, like sort_by!
-    merged: list[dict] = []
-    while len(text_chunks) > 1:
-        left = text_chunks[0]
-        right = text_chunks[1]
-        min_h = min(left["height"], right["height"])
-        overlap = (min_h - abs(left["y"] - right["y"])) / min_h
-        if overlap >= overlap_slop:
-            text_chunks[0] = spatial.merge(left, right)
-            del text_chunks[1]
-        else:
-            merged.append(text_chunks[0])
-            del text_chunks[0]
-    merged.append(text_chunks[0])
-
-    # -- drop whitespace-only chunks (chunks.rb:111)
-    return [c for c in merged if c["content"].strip() != ""]
+    return _overlap_merge(text_chunks, overlap_slop)
