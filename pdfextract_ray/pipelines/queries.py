@@ -227,6 +227,14 @@ FROM documents
 """
 
 
+def q_doc_rolling_fp(sf_dir: str):
+    """Rolling-hash (winnowing) fingerprints — robust to small edits,
+    unlike the whole-document md5 of q_doc_fingerprint. Non-SQL."""
+    from pdfextract_ray.stages.textstats import rolling_fp_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(rolling_fp_batch, batch_format="pyarrow")
+
+
 def q_doc_quality(sf_dir: str):
     from pdfextract_ray.stages.textstats import quality_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
@@ -653,6 +661,7 @@ def build_queries() -> dict:
         # text analysis (oracled)
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_rolling_fp": q_doc_rolling_fp,
         "doc_quality": q_doc_quality,
         "lang_counts": q_lang_counts,
         "top_bigrams": q_top_bigrams,

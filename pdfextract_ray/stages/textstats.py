@@ -71,6 +71,45 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
                      "fingerprint": pa.array(fps, pa.string())})
 
 
+_RH_Q = (1 << 61) - 1
+_RH_BASE = 257
+_RH_K = 16
+_RH_POWK = pow(_RH_BASE, _RH_K - 1, _RH_Q)
+
+
+def rolling_fingerprint(text: str, n_mins: int = 4) -> str:
+    """Winnowing-style rolling-hash fingerprint: polynomial rolling hash
+    over all k-byte windows of the whitespace-normalized lowercased
+    text; the fingerprint is the ``n_mins`` smallest window hashes
+    (order-insensitive, locally robust to small edits — unlike a
+    whole-document digest, sharing most windows keeps most mins)."""
+    norm = WS_RE.sub(" ", (text or "").lower()).encode("utf-8")
+    if len(norm) < _RH_K:
+        norm = norm + b"\x00" * (_RH_K - len(norm))
+    h = 0
+    mins: list[int] = []
+    worst = -1
+    for i, c in enumerate(norm):
+        h = (h * _RH_BASE + c) % _RH_Q
+        if i >= _RH_K - 1:
+            if len(mins) < n_mins:
+                mins.append(h)
+                mins.sort()
+                worst = mins[-1]
+            elif h < worst:
+                mins[-1] = h
+                mins.sort()
+                worst = mins[-1]
+            h = (h - norm[i - _RH_K + 1] * _RH_POWK) % _RH_Q
+    return "-".join("%016x" % m for m in sorted(mins))
+
+
+def rolling_fp_batch(batch: pa.Table) -> pa.Table:
+    fps = [rolling_fingerprint(t) for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "rolling_fp": pa.array(fps, pa.string())})
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: word count, stopword ratio, punctuation ratio,
     mean word length. Per-row int/int divisions are bit-identical

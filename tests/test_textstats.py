@@ -90,3 +90,19 @@ def test_multimodal_resize_and_frames():
     assert set(fr["kind"]) == {"audio"}  # images not frame-sampled
     assert list(fr["frame_index"]) == [0, 1, 2]
     assert all(len(f) == 32 for f in fr["frame"])
+
+
+def test_rolling_fingerprint_robust_to_small_edits():
+    from pdfextract_ray.stages.textstats import rolling_fingerprint
+    a = ("the quick brown fox jumps over the lazy dog and keeps running "
+         "through the long meadow towards the river bank")
+    b = a.replace("lazy", "hazy")   # one-word edit
+    c = "completely different text about columnar shuffle execution"
+    fa, fb, fc = (rolling_fingerprint(x) for x in (a, b, c))
+    assert fa == rolling_fingerprint(a)                 # deterministic
+    shared_ab = len(set(fa.split("-")) & set(fb.split("-")))
+    shared_ac = len(set(fa.split("-")) & set(fc.split("-")))
+    assert shared_ab >= 2           # small edit keeps most min-hashes
+    assert shared_ac == 0
+    # short/empty inputs don't raise
+    assert rolling_fingerprint("") and rolling_fingerprint("ab")
