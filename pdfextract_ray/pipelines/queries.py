@@ -635,6 +635,11 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey, o_orderstatus
 """
 
+_DOC_LENGTH_HIST_SQL = """
+SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
 _SAMPLE_DOCS_SQL = """
 SELECT doc_id, lang, n_chars FROM documents WHERE (doc_id & 7) = 0
 """
@@ -688,6 +693,7 @@ def build_queries() -> dict:
         "events_sessionize": rel.events_sessionize,
         "part_brand_stats": rel.part_brand_stats,
         "distinct_event_types": rel.distinct_event_types,
+        "doc_length_histogram": rel.doc_length_histogram,
         "sample_docs": rel.sample_docs,
         "union_extremes": rel.union_extremes,
         "orders_by_status": rel.orders_by_status,
@@ -711,6 +717,7 @@ def build_oracles() -> dict:
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "part_brand_stats": _PART_BRAND_SQL,
         "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,
+        "doc_length_histogram": _DOC_LENGTH_HIST_SQL,
         "sample_docs": _SAMPLE_DOCS_SQL,
         "union_extremes": _UNION_EXTREMES_SQL,
         "orders_by_status": _ORDERS_BY_STATUS_SQL,

@@ -306,6 +306,25 @@ def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def doc_length_histogram(sf_dir: str, bucket: int = 50) -> "ray.data.Dataset":
+    """Histogram of document lengths (bucketed count — the profile/
+    histogram aggregate shape, partial pre-agg per batch)."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.multiply(pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()),
+                                           pa.scalar(float(bucket)))),
+                        pa.scalar(float(bucket)))
+        g = pa.table({"bucket": pc.cast(b, pa.int64()),
+                      "n": pa.array([1] * t.num_rows, pa.int64())})
+        return g.group_by("bucket").aggregate([("n", "sum")]) \
+                .rename_columns(["bucket", "n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n_docs"))
+
+
 def sample_docs(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic 10% sample (hash-bucket filter — reproducible across
     runs and partitionings, unlike RNG sampling; SQL-matched)."""
