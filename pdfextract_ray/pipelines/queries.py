@@ -104,6 +104,15 @@ def q_extract_titles(sf_dir: str):
     return _read_extracted(sf_dir, columns=["url", "title", "n_pages", "n_refs"])
 
 
+def q_extract_xml(sf_dir: str):
+    """XmlView projection over the cached extraction output."""
+    from pdfextract_ray.views import render_xml_batch
+    return _read_extracted(sf_dir, columns=["url", "title", "references",
+                                            "spans", "n_pages"]) \
+        .map_batches(render_xml_batch, batch_format="pyarrow") \
+        .select_columns(["url", "xml"])
+
+
 def q_resolved_references(sf_dir: str):
     """Mock-resolver enrichment over exploded refs (I/O-pool shape)."""
     from pdfextract_ray.stages.resolve import ResolveReferences
@@ -659,6 +668,7 @@ def build_queries() -> dict:
         "extract_exploded": q_extract_exploded,
         "extract_references": q_extract_references,
         "extract_titles": q_extract_titles,
+        "extract_xml": q_extract_xml,
         "resolved_references": q_resolved_references,
         "bibtex": q_bibtex,
         "curate_corpus": q_curate_corpus,
