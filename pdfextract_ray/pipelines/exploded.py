@@ -111,6 +111,15 @@ def _gazetteer() -> dict:
 def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> pd.DataFrame:
     """Reassemble every document of one url shard (groupby(url_shard)
     group; per-url grouping happens here in pandas)."""
+    if not len(df):  # typed empty: Ray may call map_groups on empty blocks
+        return pd.DataFrame({"url": pd.Series(dtype="object"),
+                             "lang": pd.Series(dtype="object"),
+                             "title": pd.Series(dtype="object"),
+                             "text": pd.Series(dtype="object"),
+                             "references": pd.Series(dtype="object"),
+                             "n_pages": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "n_refs": pd.Series(dtype="int64")})
     gaz = _gazetteer()
     rows: dict[str, list] = {"url": [], "lang": [], "title": [], "text": [],
                              "references": [], "n_pages": [], "n_tokens": [],

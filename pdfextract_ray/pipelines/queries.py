@@ -163,8 +163,9 @@ def q_curate_corpus(sf_dir: str):
     text (hash groupby keep-min-url) → curated rows. The end-to-end
     shape a corpus-curation user runs daily."""
     import hashlib
+    import zlib
+    import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
 
     ds = _read_extracted(sf_dir, columns=["url", "title", "text", "lang",
                                           "n_refs", "n_tokens", "error"])
@@ -176,25 +177,42 @@ def q_curate_corpus(sf_dir: str):
                                  pc.fill_null(t["text"], "")), 200)))
         return t.filter(pc.fill_null(ok, False))
 
-    def hash_text(t: pa.Table) -> pa.Table:
+    def hash_project(t: pa.Table) -> pa.Table:
+        """Hash the text, DROP it, and add a shard key: the dedup
+        shuffle moves only (shard, hash, small metadata), never text.
+        The shard key groups ~256 Ray-level groups (millions of
+        mostly-singleton text_hash groups would pay Ray's per-group
+        overhead; the per-hash argmin runs vectorized inside the
+        shard — same pattern as stages/dedup.minhash_bands_batch)."""
         hashes = [hashlib.md5((x or "").encode()).hexdigest()
                   for x in t["text"].to_pylist()]
-        return t.append_column("text_hash", pa.array(hashes, pa.string()))
+        shards = [zlib.crc32(h.encode()) & 0xFF for h in hashes]
+        return pa.table({
+            "shard": pa.array(shards, pa.int32()),
+            "text_hash": pa.array(hashes, pa.string()),
+            "url": t["url"], "lang": t["lang"], "title": t["title"],
+            "n_refs": t["n_refs"], "n_tokens": t["n_tokens"],
+        })
 
     filtered = ds.map_batches(keep_quality, batch_format="pyarrow") \
-                 .map_batches(hash_text, batch_format="pyarrow")
-    keep = filtered.groupby("text_hash").aggregate(Min("url", alias_name="url"))
-    # keep-set is small → broadcast-filter instead of a join
-    import ray
-    keep_urls = set(keep.to_pandas()["url"])
-    keep_ref = ray.put(keep_urls)
+                 .map_batches(hash_project, batch_format="pyarrow")
 
-    def keep_rows(t: pa.Table, _ref=keep_ref) -> pa.Table:
-        urls = ray.get(_ref)
-        mask = pa.array([u in urls for u in t["url"].to_pylist()], pa.bool_())
-        return t.filter(mask)
+    def keep_min_url(df: pd.DataFrame) -> pd.DataFrame:
+        """Per shard: the min-url row of every text_hash, carrying all
+        output columns through the aggregation — no driver keep-set."""
+        if not len(df):
+            return pd.DataFrame({"shard": pd.Series(dtype="int32"),
+                                 "text_hash": pd.Series(dtype="object"),
+                                 "url": pd.Series(dtype="object"),
+                                 "lang": pd.Series(dtype="object"),
+                                 "title": pd.Series(dtype="object"),
+                                 "n_refs": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64")})
+        return df.sort_values(["text_hash", "url"]) \
+                 .drop_duplicates("text_hash", keep="first")
 
-    return filtered.map_batches(keep_rows, batch_format="pyarrow") \
+    return filtered.groupby("shard") \
+        .map_groups(keep_min_url, batch_format="pandas") \
         .select_columns(["url", "lang", "title", "n_refs", "n_tokens"])
 
 
@@ -273,11 +291,23 @@ FROM w
 def q_top_bigrams(sf_dir: str, k: int = 50):
     """Global top-k word bigrams (partial Counter per batch → groupby
     sum → sort+limit)."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
     from pdfextract_ray.stages.textstats import bigram_partials_batch
-    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+
+    summed = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(bigram_partials_batch, batch_format="pyarrow") \
-        .groupby("bigram").aggregate(Sum("n", alias_name="n")) \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+
+    # per-block partial top-k so the final sort sees only
+    # k x n_blocks rows, never the full distinct-bigram table
+    # (same shape as relational.top_docs)
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k, [("n", "descending"), ("bigram", "ascending")])
+        return t.take(idx)
+
+    return summed.map_batches(partial_topk, batch_format="pyarrow") \
         .sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
@@ -297,9 +327,19 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
 
 
 def q_lang_counts(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"], "n_chars": t["n_chars"],
+                      "n": pa.array([1] * t.num_rows, pa.int64())})
+        return g.group_by("lang") \
+                .aggregate([("n", "sum"), ("n_chars", "sum")]) \
+                .rename_columns(["lang", "n", "n_chars"])
+
+    # partial pre-agg per batch; coalesce tiny partials before the groupby
     return _read(sf_dir, "documents", ["lang", "n_chars"]) \
-        .groupby("lang").aggregate(Count(alias_name="n_docs"),
+        .map_batches(partial, batch_format="pyarrow").repartition(2) \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_docs"),
                                    Sum("n_chars", alias_name="total_chars"))
 
 
@@ -342,36 +382,50 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_minhash(sf_dir: str):
-    from pdfextract_ray.stages.dedup import (connected_components,
-                                             minhash_bands_batch, shard_pairs_group)
+    """MinHash-LSH near-dup clusters, distributed end-to-end: bands →
+    shard-group pair residue → min-label propagation
+    (``stages/dedup.label_propagation_components``, union-find
+    equivalence pytest-verified) → (doc_id, rep_id). No pair set ever
+    lands on the driver — at web scale the pair residue of a
+    boilerplate-heavy corpus exceeds driver memory."""
+    from pdfextract_ray.stages.dedup import (label_propagation_components,
+                                             minhash_bands_batch, pc_cast,
+                                             shard_pairs_group)
     bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(minhash_bands_batch, batch_format="pyarrow")
     pairs = bands.groupby("shard") \
-        .map_groups(shard_pairs_group, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if len(pdf):
-        pdf = pdf.drop_duplicates(["a", "b"])
-    comp = connected_components(pdf)
-    rows = sorted(comp.items())
-    return pa.table({
-        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
-        "rep_id": pa.array([r for _, r in rows], pa.int64()),
-    })
+        .map_groups(shard_pairs_group, batch_format="pandas") \
+        .materialize()  # small post-LSH residue; distributed blocks
+    if pairs.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rep_id": pa.array([], pa.int64())})
+    labels = label_propagation_components(pairs)
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": pc_cast(t["node"]),
+                            "rep_id": pc_cast(t["label"])}),
+        batch_format="pyarrow").sort("doc_id")
 
 
 def q_dedup_simhash(sf_dir: str):
+    """SimHash low-Hamming pairs as a Dataset end-to-end: band bucketing
+    → within-bucket verify → DISTRIBUTED pair dedupe (the same (a, b)
+    pair surfaces from up to 4 bands: a groupby-Min aggregate folds the
+    duplicates — hamming is identical across bands — instead of a
+    driver-side drop_duplicates)."""
+    from ray.data.aggregate import Min
     from pdfextract_ray.stages.dedup import simhash_batch, simhash_shard_group
     bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(simhash_batch, batch_format="pyarrow")
     pairs = bands.groupby("shard") \
-        .map_groups(simhash_shard_group, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if len(pdf):
-        pdf = pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(pdf[["a", "b", "hamming"]], preserve_index=False) \
-        if len(pdf) else pa.table({"a": pa.array([], pa.int64()),
-                                   "b": pa.array([], pa.int64()),
-                                   "hamming": pa.array([], pa.int64())})
+        .map_groups(simhash_shard_group, batch_format="pandas") \
+        .materialize()
+    if pairs.count() == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    return pairs.groupby(["a", "b"]) \
+        .aggregate(Min("hamming", alias_name="hamming")) \
+        .sort(["a", "b"])
 
 
 def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
@@ -382,37 +436,42 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     import ray
     import ray.data
     import pyarrow.compute as pc
+    from ray.data.aggregate import Min
     from pdfextract_ray.stages.dedup import (minhash_bands_batch, ngram_jaccard,
                                              shard_pairs_group)
 
     bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(minhash_bands_batch, batch_format="pyarrow")
     pairs = bands.groupby("shard") \
-        .map_groups(shard_pairs_group, batch_format="pandas").to_pandas()
-    if not len(pairs):
+        .map_groups(shard_pairs_group, batch_format="pandas") \
+        .materialize()  # post-LSH residue stays as distributed blocks
+    if pairs.count() == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    pairs = pairs.drop_duplicates(["a", "b"])
+    # distributed pair dedupe (same pair from multiple bands)
+    pairs = pairs.groupby(["a", "b"]) \
+        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
 
-    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
-    import pyarrow.parquet as pq
-    docs = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-    mask = pc.is_in(docs["doc_id"], value_set=pa.array(cand_ids, pa.int64()))
-    cand = docs.filter(mask)
-    texts_ref = ray.put(dict(zip(cand["doc_id"].to_pylist(),
-                                 cand["text"].to_pylist())))
-
-    pairs_ds = ray.data.from_pandas(pairs[["a", "b"]])
+    # candidate-id set: only the residue's ids reach the driver (ints),
+    # and the texts come from a PUSHDOWN-FILTERED read — never a
+    # whole-table driver read (documents won't fit the driver at 100x).
+    cand_ids = sorted(set(pairs.unique("a")) | set(pairs.unique("b")))
+    cand = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(cand_ids),
+    ).take_all()
+    texts_ref = ray.put({r["doc_id"]: r["text"] for r in cand})
 
     def verify(t: pa.Table, _ref=texts_ref) -> pa.Table:
         texts = ray.get(_ref)
         jac = [round(ngram_jaccard(texts.get(a, "") or "", texts.get(b, "") or ""), 6)
                for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
-        out = t.append_column("jaccard", pa.array(jac, pa.float64()))
+        out = pa.table({"a": t["a"], "b": t["b"],
+                        "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- similarity
@@ -422,9 +481,11 @@ def q_knn_cosine(sf_dir: str):
     import ray
     from pdfextract_ray.stages.similarity import TopKPartial, topk_merge_group
 
-    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    q_mask = [i for i, v in enumerate(emb["vec_id"].to_pylist()) if v < 10]
-    q_tbl = emb.take(q_mask)
+    # pushdown-filtered read: only the 10 query rows leave storage
+    # (row-group pruning + predicate), never the full embeddings table
+    q_tbl = pq.read_table(_pq(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", 10)])
     import numpy as np
     qmat = np.stack(q_tbl["embedding"].combine_chunks().to_numpy(zero_copy_only=False))
     queries_ref = ray.put((q_tbl["vec_id"].to_pylist(), qmat))
@@ -433,8 +494,12 @@ def q_knn_cosine(sf_dir: str):
     partials = ds.map_batches(TopKPartial, batch_format="pyarrow",
                               fn_constructor_kwargs=dict(queries_ref=queries_ref, k=5),
                               concurrency=(1, 4))
-    return partials.groupby("query_id").map_groups(topk_merge_group,
-                                                   batch_format="pandas")
+    # coalesce the tiny partial set (n_queries x k x n_blocks rows)
+    # before the merge groupby: the groupby's range sort otherwise
+    # scatters ~50 rows over dozens of mostly-EMPTY partitions, which
+    # emit schema-less blocks (Ray 2.49 'different schema' warnings)
+    return partials.repartition(2).groupby("query_id") \
+        .map_groups(topk_merge_group, batch_format="pandas")
 
 
 _KNN_SQL = """
@@ -463,17 +528,26 @@ def q_knn_ivf(sf_dir: str):
                                            train_centroids)
     from pdfextract_ray.stages.similarity import topk_merge_group
 
-    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_pylist()
-    col = emb["embedding"].combine_chunks()
-    # deterministic training sample: 256 lowest vec_ids
-    order = sorted(range(len(ids)), key=lambda i: ids[i])[:256]
-    sample = np.stack([np.asarray(col[i].as_py()) for i in order])
+    # deterministic training sample = vec_id < 256 (ids are dense from 0;
+    # at scale substitute any pushdown-expressible deterministic sample,
+    # e.g. hash(vec_id) % p == 0). Pushdown-filtered reads only — the
+    # embeddings table never reaches the driver whole.
+    s_tbl = pq.read_table(_pq(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", 256)])
+    s_order = np.argsort(np.asarray(s_tbl["vec_id"].to_pylist()))
+    s_col = s_tbl["embedding"].combine_chunks()
+    sample = np.stack([np.asarray(s_col[int(i)].as_py()) for i in s_order])
     centroids_ref = ray.put(train_centroids(sample))
 
-    q_idx = [i for i, v in enumerate(ids) if v < 10]
-    qmat = np.stack([np.asarray(col[i].as_py()) for i in q_idx])
-    queries_ref = ray.put(([ids[i] for i in q_idx], qmat))
+    q_tbl = pq.read_table(_pq(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", 10)])
+    q_order = np.argsort(np.asarray(q_tbl["vec_id"].to_pylist()))
+    q_col = q_tbl["embedding"].combine_chunks()
+    qmat = np.stack([np.asarray(q_col[int(i)].as_py()) for i in q_order])
+    queries_ref = ray.put(([int(q_tbl["vec_id"][int(i)].as_py()) for i in q_order],
+                           qmat))
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     assigned = ds.map_batches(assign_cells_batch, batch_format="pyarrow",
@@ -483,8 +557,9 @@ def q_knn_ivf(sf_dir: str):
         fn_constructor_kwargs=dict(queries_ref=queries_ref,
                                    centroids_ref=centroids_ref, k=5, nprobe=4),
         concurrency=(1, 4))
-    return partials.groupby("query_id").map_groups(topk_merge_group,
-                                                   batch_format="pandas")
+    # coalesce tiny partials before the merge groupby (see q_knn_cosine)
+    return partials.repartition(2).groupby("query_id") \
+        .map_groups(topk_merge_group, batch_format="pandas")
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -498,16 +573,18 @@ def q_embedding_near_dup(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
+    from ray.data.aggregate import Min
     from pdfextract_ray.stages.similarity import (cosine_pairs_group,
                                                   hyperplane_bucket_batch)
 
-    base = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids = base["vec_id"].to_pylist()
-    low = sorted(range(len(ids)), key=lambda i: ids[i])[:20]
+    # pushdown-filtered read of just the 20 rows to perturb (ids are
+    # dense from 0) — not a whole-table driver read
+    base = pq.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 20)])
     emb = base["embedding"].combine_chunks()
     pert_ids, pert_vecs = [], []
-    for i in low:
-        vid = ids[i]
+    for i, vid in enumerate(base["vec_id"].to_pylist()):
         rng = np.random.RandomState(vid + 99)
         v = np.asarray(emb[i].as_py(), dtype=np.float32)
         pert_vecs.append((v + rng.standard_normal(v.shape).astype(np.float32)
@@ -523,13 +600,16 @@ def q_embedding_near_dup(sf_dir: str):
     buckets = ds.map_batches(lambda t: hyperplane_bucket_batch(t, dim=64),
                              batch_format="pyarrow")
     pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
-        cosine_pairs_group, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if len(pdf):
-        pdf = pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-        return pa.Table.from_pandas(pdf, preserve_index=False)
-    return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                     "cosine": pa.array([], pa.float64())})
+        cosine_pairs_group, batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    # distributed dedupe (same pair from multiple LSH tables; cosine is
+    # identical across tables so a Min aggregate folds duplicates)
+    return pairs.groupby(["a", "b"]) \
+        .aggregate(Min("cosine", alias_name="cosine")) \
+        .sort(["a", "b"])
 
 
 # -------------------------------------------------------------- multimodal

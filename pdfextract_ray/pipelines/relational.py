@@ -80,7 +80,8 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
                  .rename_columns(["l_returnflag", "l_linestatus",
                                   "qty", "base", "disc_price", "n"]))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # coalesce tiny partials before the groupby (see orders_by_status)
+    partials = ds.map_batches(partial, batch_format="pyarrow").repartition(2)
     rolled = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("qty", alias_name="sum_qty"),
         Sum("base", alias_name="sum_base_price"),
@@ -127,6 +128,7 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
                  .rename_columns(["n_name", "revenue", "n"]))
 
     rolled = ds.map_batches(partial, batch_format="pyarrow") \
+               .repartition(2) \
                .groupby("n_name").aggregate(
                    Sum("revenue", alias_name="revenue"),
                    Sum("n", alias_name="n_orders"))
@@ -174,6 +176,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
                  .rename_columns(["event_type", "hour", "value", "n"]))
 
     rolled = ds.map_batches(partial, batch_format="pyarrow") \
+               .repartition(2) \
                .groupby(["event_type", "hour"]).aggregate(
                    Sum("value", alias_name="sum_value"),
                    Sum("n", alias_name="n_events"))
@@ -228,17 +231,25 @@ def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Count, Max, Min, Sum
     ds = ray.data.read_parquet(_pq(sf_dir, "part"),
                                columns=["p_brand", "p_retailprice", "p_size"])
-    def ticks(t: pa.Table) -> pa.Table:
-        return pa.table({"p_brand": t["p_brand"],
-                         "price_ticks": to_ticks(t["p_retailprice"]),
-                         "p_size": t["p_size"]})
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"p_brand": t["p_brand"],
+                      "price_ticks": to_ticks(t["p_retailprice"]),
+                      "p_size": t["p_size"],
+                      "n": pa.array([1] * t.num_rows, pa.int64())})
+        return (g.group_by("p_brand")
+                 .aggregate([("n", "sum"), ("price_ticks", "sum"),
+                             ("p_size", "min"), ("p_size", "max")])
+                 .rename_columns(["p_brand", "n", "price_ticks",
+                                  "size_min", "size_max"]))
 
-    rolled = ds.map_batches(ticks, batch_format="pyarrow") \
+    # partial pre-agg per batch; coalesce tiny partials (see orders_by_status)
+    rolled = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(2) \
         .groupby("p_brand").aggregate(
-            Count(alias_name="n_parts"),
+            Sum("n", alias_name="n_parts"),
             Sum("price_ticks", alias_name="price_sum"),
-            Min("p_size", alias_name="min_size"),
-            Max("p_size", alias_name="max_size"),
+            Min("size_min", alias_name="min_size"),
+            Max("size_max", alias_name="max_size"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -257,10 +268,21 @@ def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
 
 
 def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
-    """Distinct values (Dataset.unique shape, kept as sorted rows)."""
+    """Distinct values (Dataset.unique shape, kept as sorted rows).
+    Partial per-batch counts shuffle one row per type per batch instead
+    of every event row."""
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type"])
-    from ray.data.aggregate import Count
-    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"],
+                      "n": pa.array([1] * t.num_rows, pa.int64())})
+        return g.group_by("event_type").aggregate([("n", "sum")]) \
+                .rename_columns(["event_type", "n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(2) \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"))
 
 
 def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
@@ -322,6 +344,7 @@ def doc_length_histogram(sf_dir: str, bucket: int = 50) -> "ray.data.Dataset":
                 .rename_columns(["bucket", "n"])
 
     return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(2) \
         .groupby("bucket").aggregate(Sum("n", alias_name="n_docs"))
 
 
@@ -355,14 +378,24 @@ def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
                                columns=["o_orderstatus", "o_totalprice"])
 
-    def ticks(t: pa.Table) -> pa.Table:
-        return pa.table({"o_orderstatus": t["o_orderstatus"],
-                         "total_ticks": to_ticks(t["o_totalprice"]),
-                         "o_totalprice": t["o_totalprice"]})
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderstatus": t["o_orderstatus"],
+                      "total_ticks": to_ticks(t["o_totalprice"]),
+                      "o_totalprice": t["o_totalprice"],
+                      "n": pa.array([1] * t.num_rows, pa.int64())})
+        return (g.group_by("o_orderstatus")
+                 .aggregate([("n", "sum"), ("total_ticks", "sum"),
+                             ("o_totalprice", "max")])
+                 .rename_columns(["o_orderstatus", "n", "total_ticks",
+                                  "o_totalprice"]))
 
-    rolled = ds.map_batches(ticks, batch_format="pyarrow") \
+    # partial pre-agg (one row per status per batch), then coalesce the
+    # tiny partial set so the final groupby's range partitions aren't
+    # mostly empty (empty blocks lose their schema — Ray 2.49 warning)
+    rolled = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(2) \
         .groupby("o_orderstatus").aggregate(
-            Count(alias_name="n_orders"),
+            Sum("n", alias_name="n_orders"),
             Sum("total_ticks", alias_name="total"),
             Max("o_totalprice", alias_name="max_price"),
     )

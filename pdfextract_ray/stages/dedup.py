@@ -209,6 +209,9 @@ def label_propagation_components(pairs_ds, max_iters: int = 8):
         })
 
     def propose(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # typed empty: keep block schemas identical
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64")})
         lab = int(df["label"].min())  # the node's current min label
         dsts = df["dst"].dropna().astype("int64")
         nodes = [int(df["node"].iloc[0])] + list(dsts)

@@ -66,8 +66,20 @@ class TopKPartial:
         })
 
 
+_EMPTY_TOPK = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                            "vec_id": pd.Series(dtype="int64"),
+                            "cosine": pd.Series(dtype="float64"),
+                            "rank": pd.Series(dtype="int64")})
+
+
 def topk_merge_group(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
-    """Final per-query merge of partial top-k rows (tiny groups)."""
+    """Final per-query merge of partial top-k rows (tiny groups).
+    Ray 2.49 map_groups may invoke the fn on an EMPTY block; returning
+    a TYPED empty frame keeps every output block's schema identical
+    (untyped empties trigger 'RefBundle with a different schema'
+    warnings and downstream schema loss)."""
+    if not len(df):
+        return _EMPTY_TOPK.copy()
     df = df.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
     df = df.reset_index(drop=True)
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
