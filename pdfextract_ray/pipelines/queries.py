@@ -262,6 +262,34 @@ def q_doc_rolling_fp(sf_dir: str):
         .map_batches(rolling_fp_batch, batch_format="pyarrow")
 
 
+# SQL mirror of stages/textstats.rolling_fingerprint: the 4 smallest
+# polynomial rolling hashes over 16-byte windows of the normalized text
+# (maintaining the k smallest with strict-less replacement equals the
+# sorted-multiset head). ascii(char)==byte because the corpus is ASCII
+# (checked); docs are all >= 16 chars so the Ray path's NUL padding
+# branch never fires at test scale.
+_ROLLING_Q = (1 << 61) - 1
+_ROLLING_FP_SQL = (r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s FROM documents
+),
+hs AS (
+  SELECT doc_id,
+    list_sort(list_transform(range(1, length(s) - 14),
+      i -> CAST(list_sum(list_transform(range(0, 16),
+             t -> CAST(ascii(array_extract(s, i + t)) AS HUGEINT)
+                  * (CASE t {POWCASE} END)))
+           % 2305843009213693951 AS BIGINT))) AS hlist
+  FROM n
+)
+SELECT doc_id,
+  array_to_string(list_transform(hlist[1:4], v -> printf('%016x', v)), '-') AS rolling_fp
+FROM hs
+""").replace("{POWCASE}", " ".join(
+    "WHEN %d THEN CAST(%d AS HUGEINT)" % (t, pow(257, 15 - t, _ROLLING_Q))
+    for t in range(16)))
+
+
 def q_doc_quality(sf_dir: str):
     from pdfextract_ray.stages.textstats import quality_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
@@ -354,6 +382,79 @@ def q_lang_id(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
         .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4),
                      batch_size=1024)
+
+
+# SQL mirror of stages/textstats.LangId: per-language marker-word hit
+# counts; argmax with FIRST-lang-wins tie-break (the Python dict
+# iteration order en,de,fr,es + strict '>' update). round() halfway
+# cases cannot occur: hits/nw has denominator <= nw << 2e6.
+_LANG_ID_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang, len(words) AS nw,
+    len(list_filter(words, x -> list_contains(['the','and','of','is','with','for'], x))) AS h_en,
+    len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS h_de,
+    len(list_filter(words, x -> list_contains(['le','la','les','et','est','une'], x))) AS h_fr,
+    len(list_filter(words, x -> list_contains(['el','la','los','y','es','una'], x))) AS h_es
+  FROM w
+),
+m AS (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS hm FROM h)
+SELECT doc_id, lang,
+  CASE WHEN nw = 0 OR hm = 0 THEN 'und'
+       WHEN h_en = hm THEN 'en' WHEN h_de = hm THEN 'de'
+       WHEN h_fr = hm THEN 'fr' ELSE 'es' END AS pred_lang,
+  CASE WHEN nw = 0 THEN 0.0 ELSE round(hm / CAST(nw AS DOUBLE), 6) END AS marker_ratio
+FROM m
+"""
+
+
+# SQL mirror of stages/dedup.simhash64 + band bucketing + Hamming
+# verify: md5(word) first 8 bytes LITTLE-ENDIAN (reversed hex pairs →
+# UBIGINT, matching struct.unpack('<Q')), per-bit ±1 vote, 4×16-bit
+# band join, bit_count(xor) <= 3. Band buckets at test scale are far
+# below the Ray path's max_bucket=50 truncation, so the pair sets are
+# identical.
+_DEDUP_SIMHASH_SQL = (r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+),
+hw AS (
+  SELECT doc_id, CAST('0x' || {rev} AS UBIGINT) AS wh
+  FROM (SELECT doc_id, md5(w) AS h FROM words)
+),
+bits AS (
+  SELECT doc_id, j.j AS j,
+         sum(CASE WHEN (wh >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hw CROSS JOIN (SELECT unnest(range(64)) AS j) j
+  GROUP BY doc_id, j.j
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << j) ELSE 0 END)
+              AS UBIGINT) AS sim
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sim, b.b AS band_id,
+         CAST((sim >> (16 * b.b)) & 65535 AS INTEGER) AS band_key
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.sim, y.sim)) AS hamming
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM cand WHERE hamming <= 3
+""").replace("{rev}", "||".join(
+    "substr(h, %d, 2)" % i for i in (15, 13, 11, 9, 7, 5, 3, 1)))
 
 
 # ------------------------------------------------------------------- dedup
@@ -739,6 +840,38 @@ UNION ALL
 SELECT doc_id, n_chars FROM documents WHERE n_chars > 450
 """
 
+_EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+  SUM(CAST(round(value * 10000, 0) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 10000.0 AS rolling_sum
+FROM events
+"""
+
+_EVENTS_ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts, v.view_ts, v.view_id
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+"""
+
+_EVENTS_RANGE_JOIN_SQL = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e18)
+)
+SELECT t.tier,
+       SUM(CAST(round(e.value * 10000, 0) AS BIGINT)) / 10000.0 AS sum_value,
+       count(*) AS n_events
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+"""
+
 
 def build_queries() -> dict:
     from pdfextract_ray.pipelines import relational as rel
@@ -781,6 +914,9 @@ def build_queries() -> dict:
         "top_docs": rel.top_docs,
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
+        "events_rolling": rel.events_rolling,
+        "events_asof_join": rel.events_asof_join,
+        "events_range_join": rel.events_range_join,
         "part_brand_stats": rel.part_brand_stats,
         "distinct_event_types": rel.distinct_event_types,
         "doc_length_histogram": rel.doc_length_histogram,
@@ -798,6 +934,8 @@ def build_oracles() -> dict:
         "lang_counts": _LANG_COUNTS_SQL,
         "top_bigrams": _TOP_BIGRAMS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "knn_cosine": _KNN_SQL,
         "q1_pricing": _Q1_SQL,
         "nation_revenue": _NATION_REVENUE_SQL,
@@ -805,6 +943,10 @@ def build_oracles() -> dict:
         "top_docs": _TOP_DOCS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_rolling": _EVENTS_ROLLING_SQL,
+        "events_asof_join": _EVENTS_ASOF_SQL,
+        "events_range_join": _EVENTS_RANGE_JOIN_SQL,
+        "doc_rolling_fp": _ROLLING_FP_SQL,
         "part_brand_stats": _PART_BRAND_SQL,
         "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,
         "doc_length_histogram": _DOC_LENGTH_HIST_SQL,

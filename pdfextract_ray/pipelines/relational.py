@@ -409,3 +409,117 @@ def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def events_rolling(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
+    """Per-user rolling-window aggregate (sum of the last ``window``
+    event values, ordered by (ts, event_id)): the windowed-aggregate
+    shape — one shuffle keyed by user_id, then a vectorized pandas
+    rolling sum inside each group. Tick-integer sums keep the floats
+    bit-exact vs the SQL window-frame oracle."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
+                               columns=["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "ts": pd.Series(dtype="datetime64[us]"),
+                                 "rolling_sum": pd.Series(dtype="float64")})
+        g = g.sort_values(["ts", "event_id"])
+        ticks = (g["value"] * SCALE).round().astype("int64")
+        rs = ticks.rolling(window, min_periods=1).sum().astype("int64") / SCALE
+        return pd.DataFrame({"event_id": g["event_id"], "user_id": g["user_id"],
+                             "ts": g["ts"], "rolling_sum": rs})
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: each purchase event matched to the latest view event
+    of the same user at ts <= purchase ts (inner). Ray Data lacks an
+    as-of join operator; the composition is one shuffle keyed by
+    user_id over BOTH filtered streams (a union — the same shuffle
+    key co-locates them), then a sorted ``pandas.merge_asof`` inside
+    each group. View-side (user, ts) ties are pre-folded to
+    max(event_id) for determinism."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array(["purchase", "view"])))
+
+    _EMPTY = pd.DataFrame({"purchase_id": pd.Series(dtype="int64"),
+                           "user_id": pd.Series(dtype="int64"),
+                           "ts": pd.Series(dtype="datetime64[us]"),
+                           "view_ts": pd.Series(dtype="datetime64[us]"),
+                           "view_id": pd.Series(dtype="int64")})
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        v = g[g["event_type"] == "view"]
+        if not len(p) or not len(v):
+            return _EMPTY.copy()
+        p = p[["event_id", "user_id", "ts"]] \
+            .rename(columns={"event_id": "purchase_id"}).sort_values("ts")
+        v = v.groupby("ts", as_index=False)["event_id"].max() \
+            .rename(columns={"ts": "view_ts", "event_id": "view_id"}) \
+            .sort_values("view_ts")
+        m = pd.merge_asof(p, v, left_on="ts", right_on="view_ts",
+                          direction="backward")
+        m = m[m["view_id"].notna()]
+        if not len(m):
+            return _EMPTY.copy()
+        m["view_id"] = m["view_id"].astype("int64")
+        return m[["purchase_id", "user_id", "ts", "view_ts", "view_id"]]
+
+    return ds.map_batches(keep, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+# static value tiers for the broadcast range join (small side)
+VALUE_TIERS = (("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e18))
+
+
+def events_range_join(sf_dir: str) -> "ray.data.Dataset":
+    """Range join against a small static tier table: the small side is
+    broadcast as sorted bin edges and resolved per batch with one
+    vectorized ``np.searchsorted`` — never a shuffle join. Partial
+    pre-agg per batch, then a tiny 3-group rollup."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    names = [t[0] for t in VALUE_TIERS]
+    edges = np.array([t[1] for t in VALUE_TIERS][1:])  # interior lower bounds
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, vals, side="right")
+        g = pa.table({
+            "tier": pa.array([names[i] for i in idx], pa.string()),
+            "value": to_ticks(t["value"]),
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        return g.group_by("tier").aggregate([("value", "sum"), ("n", "sum")]) \
+                .rename_columns(["tier", "value", "n"])
+
+    rolled = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(2) \
+        .groupby("tier").aggregate(Sum("value", alias_name="sum_value"),
+                                   Sum("n", alias_name="n_events"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"tier": t["tier"],
+                         "sum_value": from_ticks(t["sum_value"]),
+                         "n_events": t["n_events"]})
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
