@@ -73,6 +73,19 @@ def main(argv=None) -> int:
     sp_s = sub.add_parser("spans", help="bbox spans parquet (mark analogue)")
     common(sp_s)
 
+    sp_x = sub.add_parser(
+        "xml", help="full XmlView render of requested spatial types")
+    common(sp_x)
+    sp_x.add_argument("--spatials", default="regions",
+                      help="comma list of titles,regions,zones,sections,"
+                           "references (xml_view.rb per-type rendering)")
+    sp_x.add_argument("--precision", type=int, default=2,
+                      help="numeric attribute rounding (:round)")
+    sp_x.add_argument("--no-lines", action="store_true",
+                      help="inline text content instead of <line> children")
+    sp_x.add_argument("--outline", action="store_true",
+                      help="attributes only, no text content")
+
     sub.add_parser("settings", help="list tunables")
 
     args = p.parse_args(argv)
@@ -119,6 +132,20 @@ def main(argv=None) -> int:
         elif args.cmd == "spans":
             out = reg.build(ds, ["extract"], ctx) \
                 .select_columns(["url", "spans"])
+            out.write_parquet(args.out)
+        elif args.cmd == "xml":
+            from pdfextract_ray.views import ALL_SPATIAL_TYPES, XmlSpatials
+            types = tuple(t.strip() for t in args.spatials.split(",") if t.strip())
+            bad = set(types) - set(ALL_SPATIAL_TYPES)
+            if bad:
+                p.error("unknown spatial types: %s" % ", ".join(sorted(bad)))
+            out = ds.map_batches(
+                XmlSpatials, batch_format="pyarrow", batch_size=32,
+                concurrency=(1, 4),
+                fn_constructor_kwargs=dict(
+                    types=types, precision=args.precision,
+                    lines=not args.no_lines, outline=args.outline,
+                    settings=settings))
             out.write_parquet(args.out)
         print(json.dumps({"out": args.out, "ok": True}))
         return 0

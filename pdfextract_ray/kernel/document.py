@@ -37,6 +37,7 @@ class ExtractResult:
     text: str = ""
     title: str | None = None
     title_font: str | None = None
+    title_line_height: float | None = None
     references: list[dict] = field(default_factory=list)
     sections: list[dict] = field(default_factory=list)
     regions: list[dict] = field(default_factory=list)
@@ -127,6 +128,7 @@ def assemble_document(page_results: list[dict], settings: Settings = DEFAULT_SET
     if title is not None:
         res.title = title["content"]
         res.title_font = title["font"]
+        res.title_line_height = title["line_height"]
 
     res.sections = build_sections(all_regions, all_columns, settings, gazetteer)
     res.references = build_references(res.sections, settings)

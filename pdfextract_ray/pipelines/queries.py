@@ -113,6 +113,20 @@ def q_extract_xml(sf_dir: str):
         .select_columns(["url", "xml"])
 
 
+def q_extract_xml_spatials(sf_dir: str):
+    """Full XmlView render (per-spatial-type, xml_view.rb analogue) of
+    every corpus doc: all five types, default precision/lines."""
+    from pdfextract_ray.pipelines.extract_pipeline import read_corpus
+    from pdfextract_ray.sources.corpus import ensure_corpus
+    from pdfextract_ray.views import ALL_SPATIAL_TYPES, XmlSpatials
+
+    corpus = ensure_corpus(sf_dir)
+    return read_corpus(corpus).map_batches(
+        XmlSpatials, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(types=ALL_SPATIAL_TYPES))
+
+
 def q_resolved_references(sf_dir: str):
     """Mock-resolver enrichment over exploded refs (I/O-pool shape)."""
     from pdfextract_ray.stages.resolve import ResolveReferences
@@ -882,6 +896,7 @@ def build_queries() -> dict:
         "extract_references": q_extract_references,
         "extract_titles": q_extract_titles,
         "extract_xml": q_extract_xml,
+        "extract_xml_spatials": q_extract_xml_spatials,
         "resolved_references": q_resolved_references,
         "bibtex": q_bibtex,
         "curate_corpus": q_curate_corpus,

@@ -1,15 +1,28 @@
-"""Render sinks: XML view of extraction rows.
+"""Render sinks: XML views of extraction results.
 
-Analogue of the reference's ``XmlView`` (``view/xml_view.rb:41-109``):
-pageless objects (title) render first, then per-``<page>`` spatial
-objects with numeric attributes rounded (xml_view.rb:24-29 rounds to a
-``--precision``; default 2 here), text content escaped. The canonical
-sink remains Parquet — XML is a projection column for fixture parity
-and interop, written with ``write_json``/``write_parquet`` or saved
-per-doc by the CLI.
+Two renderers:
+
+- :func:`render_xml_row` — the compact span projection kept for the
+  ``extract_xml`` query and CLI ``--xml`` (title/references/bbox spans).
+- :func:`render_spatials_xml` — the full ``XmlView`` analogue
+  (``view/xml_view.rb:34-109``): renders ANY explicitly-requested
+  spatial type with per-object attributes, numeric rounding to a
+  configurable ``precision`` (``:round``, xml_view.rb:41), optional
+  ``lines`` inlining (xml_view.rb:36-40) and ``outline`` mode
+  (attributes only, no text — xml_view.rb:93), pageless objects first
+  then per-``<page>`` grouping (xml_view.rb:49-68), nested hash/array
+  values rendered recursively under singularized element names
+  (xml_view.rb:90-107, abstract_view.rb:26-29).
+
+Formatting deviation (documented): integral floats print without a
+trailing ``.0`` (``72`` not ``72.0``); golden fixtures are frozen from
+this renderer, not from Ruby output.
 """
 
 from __future__ import annotations
+
+import math
+import re
 
 from xml.sax.saxutils import escape, quoteattr
 
@@ -17,14 +30,44 @@ import pyarrow as pa
 
 PRECISION = 2
 
+# xml_view.rb:13-15
+NUMERIC_ATTRIBUTES = frozenset([
+    "x", "y", "width", "height", "line_height", "page_height",
+    "page_width", "x_offset", "y_offset", "spacing", "letter_ratio",
+    "cap_ratio", "year_ratio",
+])
+_SCORE_RE = re.compile(r".+_score")
+IGNORED_ATTRIBUTES = frozenset(["content"])          # xml_view.rb:9
+PARENT_IGNORED_ATTRIBUTES = frozenset(["page", "page_width", "page_height"])
 
-def _fmt(v: float) -> str:
-    r = round(v, PRECISION)
-    return str(int(r)) if r == int(r) else str(r)
+
+def singular_name(name: str) -> str:
+    """abstract_view.rb:26-29 (ies → y, trailing s dropped)."""
+    if name.endswith("ies"):
+        return name[:-3] + "y"
+    if name.endswith("s"):
+        return name[:-1]
+    return name
+
+
+def _ruby_round(v: float, precision: int) -> float:
+    """Ruby Float#round: half away from zero (Python round is half-even)."""
+    m = 10.0 ** precision
+    return math.floor(abs(v) * m + 0.5) / m * (1.0 if v >= 0 else -1.0)
+
+
+def _fmt(v, precision: int = PRECISION) -> str:
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        r = _ruby_round(v, precision)
+        return str(int(r)) if r == int(r) else repr(r)
+    return str(v)
 
 
 def render_xml_row(title: str | None, references: list | None,
                    spans: list | None, n_pages: int) -> str:
+    """Compact span projection (title + references + bbox spans)."""
     out = ["<pdf>"]
     if title:
         out.append("  <title>%s</title>" % escape(title))
@@ -62,3 +105,155 @@ def render_xml_batch(batch: pa.Table) -> pa.Table:
     for t, r, s, n in zip(titles, refs, spans, n_pages):
         xmls.append(render_xml_row(t, r, s, n))
     return batch.append_column("xml", pa.array(xmls, pa.string()))
+
+
+# ------------------------------------------------------- full XmlView
+
+ALL_SPATIAL_TYPES = ("titles", "regions", "zones", "sections", "references")
+
+
+def collect_objects(result, types=ALL_SPATIAL_TYPES) -> dict[str, list[dict]]:
+    """ExtractResult → {type: [spatial objects]} for the requested
+    types (the analogue of AbstractView#objects' explicit-call filter,
+    abstract_view.rb:15-17)."""
+    out: dict[str, list[dict]] = {}
+    for t in types:
+        if t == "titles":
+            if getattr(result, "title", None) is not None:
+                obj = {"content": result.title,
+                       "line_height": getattr(result, "title_line_height", None),
+                       "font": result.title_font}
+                out["titles"] = [{k: v for k, v in obj.items() if v is not None}]
+        elif t == "regions":
+            out["regions"] = result.regions
+        elif t == "zones":
+            out["zones"] = result.zones
+        elif t == "sections":
+            out["sections"] = result.sections
+        elif t == "references":
+            out["references"] = result.references
+        else:
+            raise ValueError("unknown spatial type: %r" % (t,))
+    return {k: v for k, v in out.items() if v}
+
+
+def _write_obj(out: list[str], obj: dict, name: str, indent: int,
+               precision: int, lines: bool, outline: bool,
+               parent: bool = True) -> None:
+    """xml_view.rb:90-107 (write_obj_to_xml)."""
+    from pdfextract_ray.kernel.language import transliterate
+    from pdfextract_ray.kernel.spatial import get_text_content
+
+    pad = "  " * indent
+    attrs = []
+    for k, v in obj.items():
+        if k in IGNORED_ATTRIBUTES or isinstance(v, (dict, list)):
+            continue
+        if parent and k in PARENT_IGNORED_ATTRIBUTES:
+            continue
+        if (k in NUMERIC_ATTRIBUTES or _SCORE_RE.match(k)) and v is not None:
+            attrs.append((k, _fmt(float(v), precision)))
+        else:
+            attrs.append((k, str(v)))
+    attr_s = "".join(" %s=%s" % (k, quoteattr(v)) for k, v in attrs)
+
+    text = None
+    if not outline:
+        if not lines:
+            text = transliterate(get_text_content(obj))
+        elif obj.get("content") is not None:
+            text = transliterate(str(obj["content"]))
+
+    nested = [(k, v) for k, v in obj.items() if isinstance(v, (dict, list))]
+    if not lines:
+        nested = [(k, v) for k, v in nested if k != "lines"]
+
+    if not nested and not text:
+        out.append("%s<%s%s/>" % (pad, name, attr_s))
+        return
+    out.append("%s<%s%s>" % (pad, name, attr_s))
+    if text:
+        out.append("%s  %s" % (pad, escape(text)))
+    for k, v in nested:
+        en = singular_name(k)
+        if isinstance(v, dict):
+            _write_obj(out, v, en, indent + 1, precision, lines, outline,
+                       parent=False)
+        else:
+            for item in v:
+                _write_obj(out, item, en, indent + 1, precision, lines,
+                           outline, parent=False)
+    out.append("%s</%s>" % (pad, name))
+
+
+def render_spatials_xml(objects: dict[str, list[dict]],
+                        precision: int = PRECISION, lines: bool = True,
+                        outline: bool = False) -> str:
+    """Full XmlView render (xml_view.rb:34-88): pageless objects first,
+    then per-page groups in first-seen page order, each object with its
+    full rounded attribute set and nested children."""
+    pages: dict[int, list[tuple[str, dict]]] = {}
+    page_params: dict[int, dict] = {}
+    pageless: list[tuple[str, dict]] = []
+    for type_, objs in objects.items():
+        en = singular_name(type_)
+        for obj in objs:
+            if "page" in obj:
+                pages.setdefault(obj["page"], []).append((en, obj))
+                page_params.setdefault(obj["page"], {
+                    "width": obj.get("page_width"),
+                    "height": obj.get("page_height"),
+                    "number": obj["page"],
+                })
+            else:
+                pageless.append((en, obj))
+
+    out = ["<pdf>"]
+    for en, obj in pageless:
+        _write_obj(out, obj, en, 1, precision, lines, outline)
+    for page_number, typed in pages.items():
+        p = page_params[page_number]
+        attr_s = "".join(
+            " %s=%s" % (k, quoteattr(_fmt(v, precision)
+                                     if isinstance(v, float) else str(v)))
+            for k, v in p.items() if v is not None)
+        out.append("  <page%s>" % attr_s)
+        for en, obj in typed:
+            _write_obj(out, obj, en, 2, precision, lines, outline)
+        out.append("  </page>")
+    out.append("</pdf>")
+    return "\n".join(out)
+
+
+class XmlSpatials:
+    """Actor-pool stage: corpus rows → (url, xml) with the FULL XmlView
+    render of the requested spatial types. Gazetteer + settings load
+    once per actor (reference: process-global state, names.rb:18)."""
+
+    def __init__(self, types=("regions",), precision: int = PRECISION,
+                 lines: bool = True, outline: bool = False,
+                 settings=None) -> None:
+        from pdfextract_ray.kernel.names import load_gazetteer
+        from pdfextract_ray.settings import DEFAULT_SETTINGS
+        self.types = tuple(types)
+        self.precision = precision
+        self.lines = lines
+        self.outline = outline
+        self.settings = settings or DEFAULT_SETTINGS
+        self.gazetteer = load_gazetteer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdfextract_ray.kernel.document import run_document
+        xmls = []
+        for html in batch["html"].to_pylist():
+            try:
+                r = run_document(html if html is not None else b"",
+                                 self.settings, self.gazetteer)
+                xmls.append(render_spatials_xml(
+                    collect_objects(r, self.types), self.precision,
+                    self.lines, self.outline))
+            except Exception as exc:  # per-row isolation
+                xmls.append("<pdf><error>%s</error></pdf>"
+                            % escape("%s: %s" % (type(exc).__name__, exc)))
+        return pa.table({"url": batch["url"],
+                         "xml": pa.array(xmls, pa.string())})
