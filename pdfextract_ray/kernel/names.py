@@ -62,20 +62,82 @@ def _query_form(word: str) -> str:
     return _HYPHEN_CAP_RE.sub(lambda m: "-" + m.group(1).upper(), w)
 
 
-def detect_names(content: str, gazetteer: dict[str, bool]) -> float:
-    """Return name_frequency for ``content`` (names.rb:22-49)."""
-    words = content.split()
-    total = 0.0
-    for word in words:
-        # names.rb:29-35: downcase → capitalize → upcase-after-hyphen.
-        # Python str.capitalize() == Ruby downcase+capitalize; the hyphen
-        # pass only matters when a hyphen is present.
-        q = word.capitalize()
-        if "-" in q:
-            q = _HYPHEN_CAP_RE.sub(lambda m: "-" + m.group(1).upper(), q)
-        amb = gazetteer.get(q)
-        if amb is not None:
-            total += AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT
-    if total == 0:
+class NamesDatabase:
+    """Gazetteer-backed detector (names.rb:9-50) — the default."""
+
+    @staticmethod
+    def detect_names(content: str, gazetteer: dict[str, bool] | None = None) -> float:
+        words = content.split()
+        gazetteer = gazetteer or {}
+        total = 0.0
+        for word in words:
+            # names.rb:29-35: downcase → capitalize → upcase-after-hyphen.
+            # Python str.capitalize() == Ruby downcase+capitalize; the hyphen
+            # pass only matters when a hyphen is present.
+            q = word.capitalize()
+            if "-" in q:
+                q = _HYPHEN_CAP_RE.sub(lambda m: "-" + m.group(1).upper(), q)
+            amb = gazetteer.get(q)
+            if amb is not None:
+                total += AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT
+        if total == 0:
+            return 0.0
+        return total / float(len(words))
+
+
+class NamesService:
+    """HTTP name-detection backend (names.rb:52-68 ``NamesService``):
+    POST the content, parse ``{"name_frequency": x}``; ANY failure —
+    network absent, non-200, bad JSON — returns 0.0, exactly like the
+    reference's bare ``rescue``. ``url``/``timeout`` are class attrs so
+    a deployment can point at its own service."""
+
+    url = "http://localhost:8399/detect"
+    timeout = 2.0
+
+    @classmethod
+    def detect_names(cls, content: str,
+                     gazetteer: dict[str, bool] | None = None) -> float:
+        import json
+        import urllib.request
+        try:
+            req = urllib.request.Request(
+                cls.url, data=content.encode("utf-8"), method="POST")
+            with urllib.request.urlopen(req, timeout=cls.timeout) as resp:
+                if resp.status == 200:
+                    return float(json.loads(resp.read())
+                                 .get("name_frequency", 0.0))
+        except Exception:
+            pass
         return 0.0
-    return total / float(len(words))
+
+
+class NoDetection:
+    """names.rb:70-74 — always 0.0."""
+
+    @staticmethod
+    def detect_names(content: str,
+                     gazetteer: dict[str, bool] | None = None) -> float:
+        return 0.0
+
+
+# names.rb:76-86: module-level pluggable detector (``Names.detector=``)
+_detector = NamesDatabase
+
+
+def set_detector(detector) -> None:
+    """Swap the active backend (class or instance exposing
+    ``detect_names(content, gazetteer=None)``)."""
+    global _detector
+    _detector = detector
+
+
+def get_detector():
+    return _detector
+
+
+def detect_names(content: str, gazetteer: dict[str, bool]) -> float:
+    """Return name_frequency for ``content`` via the active detector
+    (names.rb:84-86). The default ``NamesDatabase`` path is the
+    byte-identical live-path math."""
+    return _detector.detect_names(content, gazetteer)

@@ -730,27 +730,31 @@ def q_embedding_near_dup(sf_dir: str):
 # -------------------------------------------------------------- multimodal
 
 def q_multimodal_decode(sf_dir: str):
-    from pdfextract_ray.stages.multimodal import DecodeMedia, synth_media_batch
+    """REAL decode path: BMP/WAV payloads decoded by the pure-Python
+    codecs (PIL would be picked up if importable)."""
+    from pdfextract_ray.stages.multimodal import DecodeMedia, synth_real_media_batch
     media = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(synth_media_batch, batch_format="pyarrow")
+        .map_batches(synth_real_media_batch, batch_format="pyarrow")
     return media.map_batches(DecodeMedia, batch_format="pyarrow",
                              batch_size=64, concurrency=(1, 4)) \
         .select_columns(["media_id", "kind", "width", "height", "decoded"])
 
 
 def q_multimodal_resize(sf_dir: str):
-    from pdfextract_ray.stages.multimodal import ResizeImages, synth_media_batch
+    """REAL nearest-neighbor BMP resize (decode -> subsample -> re-encode)."""
+    from pdfextract_ray.stages.multimodal import ResizeImages, synth_real_media_batch
     media = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(synth_media_batch, batch_format="pyarrow")
+        .map_batches(synth_real_media_batch, batch_format="pyarrow")
     return media.map_batches(ResizeImages, batch_format="pyarrow",
                              batch_size=64, concurrency=(1, 4)) \
         .select_columns(["media_id", "kind", "width", "height"])
 
 
 def q_multimodal_frames(sf_dir: str):
-    from pdfextract_ray.stages.multimodal import SampleFrames, synth_media_batch
+    """REAL sample-accurate WAV frame windows from decoded PCM."""
+    from pdfextract_ray.stages.multimodal import SampleFrames, synth_real_media_batch
     media = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(synth_media_batch, batch_format="pyarrow")
+        .map_batches(synth_real_media_batch, batch_format="pyarrow")
     frames = media.map_batches(SampleFrames, batch_format="pyarrow",
                                batch_size=64, concurrency=(1, 4))
     import pyarrow.compute as pc

@@ -5,18 +5,24 @@ processed by actor-pool ``map_batches`` stages with SMALL batch sizes
 (large blobs × concurrency must fit worker heaps — ray_guide
 "Memory-aware").
 
-The actual codec libraries (PIL/ffmpeg) are not in this container, so
-the decode kernel is STUBBED: ``DecodeMedia`` tries the real import and
-falls back to a clearly-marked deterministic fake (header parse +
-hash-derived feature vector). The Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested; swapping
-in a real decoder touches only ``_decode_real``.
+Codec tiers, probed per payload by magic bytes:
+
+1. **PIL**, when importable (not in this container) — arbitrary image
+   formats; the swap point is :meth:`DecodeMedia._decode_pil`.
+2. **Pure-Python real codecs** (always available): uncompressed 24-bit
+   BMP (:func:`decode_bmp`/:func:`encode_bmp`) and 16-bit PCM WAV
+   (:func:`decode_wav`/:func:`encode_wav`) — at least one real format
+   decodes, resizes, and frame-samples without any external library.
+3. **Deterministic ``PX`` stub** — exercises the pipeline plumbing for
+   formats outside 1–2 (clearly marked; header parse + hash features).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -53,25 +59,167 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# ------------------------------------------------- pure-Python codecs
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, BGR, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up
+        bgr = pixels[y, :, ::-1].tobytes()  # RGB → BGR
+        body += bgr + b"\x00" * pad
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return header + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed 24-bit BMP → (w, h, (h, w, 3) RGB)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    offset, = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if dib_size < 40 or bpp != 24 or comp != 0 or w <= 0:
+        raise ValueError("unsupported BMP variant (need uncompressed 24-bit)")
+    flipped = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = (h - 1 - i) if flipped else i
+        start = offset + i * stride
+        bgr = np.frombuffer(payload, dtype=np.uint8, count=row,
+                            offset=start).reshape(w, 3)
+        px[y] = bgr[:, ::-1]
+    return w, h, px
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 samples as a mono 16-bit PCM WAV."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono 16-bit PCM WAV → (rate, int16 samples)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("need 16-bit PCM")
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return rate, samples
+
+
+def image_features(px: np.ndarray) -> np.ndarray:
+    """16-dim image descriptor: per-channel mean+std (6) + 10-bin
+    normalized grayscale histogram."""
+    f = np.empty(FEATURE_DIM, dtype=np.float64)
+    flat = px.reshape(-1, 3).astype(np.float64)
+    f[0:3] = flat.mean(axis=0) / 255.0
+    f[3:6] = flat.std(axis=0) / 255.0
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=10, range=(0.0, 255.0001))
+    f[6:16] = hist / max(1, len(gray))
+    return f.astype(np.float32)
+
+
+def audio_features(samples: np.ndarray) -> np.ndarray:
+    """16-dim audio descriptor: rms + zero-cross rate + 14 frame RMS."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float64)
+    if len(samples):
+        x = samples.astype(np.float64) / 32768.0
+        f[0] = np.sqrt((x * x).mean())
+        f[1] = (np.diff(np.signbit(x)) != 0).mean() if len(x) > 1 else 0.0
+        frames = np.array_split(x, 14)
+        f[2:16] = [np.sqrt((fr * fr).mean()) if len(fr) else 0.0
+                   for fr in frames]
+    return f.astype(np.float32)
+
+
+def synth_real_media_batch(batch: pa.Table) -> pa.Table:
+    """REAL media payloads derived from documents rows: even doc_ids
+    get a deterministic gradient/hash-pattern BMP, odd doc_ids a
+    two-tone sine WAV."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    kinds, payloads = [], []
+    for doc_id, text in zip(ids, texts):
+        seed = np.frombuffer(
+            hashlib.sha256((text or "").encode("utf-8")).digest()[:8],
+            dtype=np.uint64)[0]
+        if doc_id % 2 == 0:
+            w = 16 + (doc_id % 64)
+            h = 16 + (doc_id % 48)
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([
+                ((xx * 255) // max(1, w - 1)).astype(np.uint8),
+                ((yy * 255) // max(1, h - 1)).astype(np.uint8),
+                ((xx ^ yy) + int(seed % 251)).astype(np.uint8),
+            ], axis=-1)
+            payloads.append(encode_bmp(px))
+            kinds.append("image")
+        else:
+            n = 800 + (doc_id % 800)
+            t = np.arange(n, dtype=np.float64)
+            f1 = 100.0 + float(seed % 200)
+            sig = (np.sin(2 * np.pi * f1 * t / 8000.0) * 12000.0
+                   + np.sin(2 * np.pi * 2 * f1 * t / 8000.0) * 6000.0)
+            payloads.append(encode_wav(sig.astype(np.int16)))
+            kinds.append("audio")
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
 class DecodeMedia:
-    """Actor-pool decode stage: payload → (width, height, features)."""
+    """Actor-pool decode stage: payload → (width, height, features).
+
+    Routes per payload by magic bytes: PIL (if importable) → BMP/WAV
+    pure-Python codecs → deterministic PX stub."""
 
     def __init__(self) -> None:
-        try:  # real decoder path — not present in this container
+        try:  # optional richer decoder — absent in this container
             import PIL.Image  # noqa: F401
-            self._real = True
+            self._pil = True
         except ImportError:
-            self._real = False
+            self._pil = False
 
-    def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg (not in this container); "
-            "the deterministic stub below exercises the pipeline plumbing"
-        )
+    def _decode_pil(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        import PIL.Image
+        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+        px = np.asarray(img, dtype=np.uint8)
+        return img.width, img.height, image_features(px)
+
+    def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload[:2] == b"BM":
+            w, h, px = decode_bmp(payload)
+            return w, h, image_features(px)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            _rate, samples = decode_wav(payload)
+            return len(samples), 1, audio_features(samples)
+        if self._pil:
+            return self._decode_pil(payload)
+        return self._decode_stub(payload)
 
     def _decode_stub(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         if len(payload) < 12 or payload[:2] != b"PX":
-            return 0, 0, np.zeros(FEATURE_DIM, dtype=np.float32)
+            raise ValueError("undecodable payload")
         w, h = struct.unpack("<II", payload[4:12])
         digest = hashlib.sha256(payload[12:]).digest()
         feats = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16)
@@ -81,8 +229,7 @@ class DecodeMedia:
         widths, heights, feats, ok = [], [], [], []
         for payload in batch["payload"].to_pylist():
             try:
-                w, h, f = (self._decode_real(payload) if self._real
-                           else self._decode_stub(payload))
+                w, h, f = self._decode(payload)
                 widths.append(w)
                 heights.append(h)
                 feats.append([round(float(x), 6) for x in f])
@@ -116,6 +263,22 @@ class ResizeImages:
         out_payloads, out_w, out_h = [], [], []
         for kind, payload in zip(batch["kind"].to_pylist(),
                                  batch["payload"].to_pylist()):
+            if kind == "image" and payload[:2] == b"BM":
+                # REAL resize: decode → nearest-neighbor subsample → re-encode
+                try:
+                    w, h, px = decode_bmp(payload)
+                    scale = min(1.0, self.max_dim / max(w, h, 1))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+                    yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+                    out_payloads.append(encode_bmp(px[yi][:, xi]))
+                    out_w.append(nw)
+                    out_h.append(nh)
+                except ValueError:
+                    out_payloads.append(payload)
+                    out_w.append(0)
+                    out_h.append(0)
+                continue
             if kind != "image" or len(payload) < 12 or payload[:2] != b"PX":
                 out_payloads.append(payload)
                 out_w.append(0)
@@ -153,6 +316,23 @@ class SampleFrames:
                                       batch["kind"].to_pylist(),
                                       batch["payload"].to_pylist()):
             if kind == "image" or len(payload) <= 12:
+                continue
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                # REAL sample-accurate windows from decoded PCM
+                try:
+                    _rate, samples = decode_wav(payload)
+                except (ValueError, wave.Error):
+                    continue
+                n_samp = self.frame_bytes // 2
+                step = max(1, (len(samples) - n_samp)
+                           // max(1, self.n_frames - 1))
+                for k in range(self.n_frames):
+                    off = min(k * step, max(0, len(samples) - n_samp))
+                    ids.append(mid)
+                    kinds.append(kind)
+                    fidx.append(k)
+                    frames.append(samples[off:off + n_samp]
+                                  .astype("<i2").tobytes())
                 continue
             body = payload[12:]
             step = max(1, (len(body) - self.frame_bytes) // max(1, self.n_frames - 1))

@@ -57,3 +57,28 @@ def test_score_per_doc_normalization():
     items = [{"f": float("nan")}, {"f": 0.1}]
     score(items, {"f": (0.1, 10)}, "s")
     assert items[0]["s"] == 0 and items[1]["s"] == 10
+
+
+def test_names_detector_pluggable(gazetteer):
+    """names.rb:76-86 Names.detector= analogue."""
+    from pdfextract_ray.kernel import names as N
+    content = "Smith and Jones wrote this"
+    base = N.detect_names(content, gazetteer)
+    try:
+        N.set_detector(N.NoDetection)
+        assert N.detect_names(content, gazetteer) == 0.0
+
+        class Constant:
+            @staticmethod
+            def detect_names(content, gazetteer=None):
+                return 0.42
+        N.set_detector(Constant)
+        assert N.detect_names(content, gazetteer) == 0.42
+
+        # service backend: no server on that port -> rescue path -> 0.0
+        N.NamesService.timeout = 0.2
+        N.set_detector(N.NamesService)
+        assert N.detect_names(content, gazetteer) == 0.0
+    finally:
+        N.set_detector(N.NamesDatabase)
+    assert N.detect_names(content, gazetteer) == base

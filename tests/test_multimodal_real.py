@@ -1,0 +1,93 @@
+"""Real-codec multimodal tests: pure-Python BMP and WAV round-trips,
+real resize, and sample-accurate frame windows (no PIL/ffmpeg)."""
+
+import numpy as np
+import pyarrow as pa
+
+from pdfextract_ray.stages import multimodal as M
+
+
+def test_bmp_roundtrip():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 21, 3), dtype=np.uint8)  # odd dims → padding
+    blob = M.encode_bmp(px)
+    assert blob[:2] == b"BM"
+    w, h, out = M.decode_bmp(blob)
+    assert (w, h) == (21, 13)
+    assert np.array_equal(out, px)
+
+
+def test_wav_roundtrip():
+    sig = (np.sin(np.linspace(0, 40 * np.pi, 1600)) * 20000).astype(np.int16)
+    blob = M.encode_wav(sig, rate=8000)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate, out = M.decode_wav(blob)
+    assert rate == 8000
+    assert np.array_equal(out, sig)
+
+
+def test_decode_media_routes_real_codecs():
+    docs = pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                     "text": ["image doc", "audio doc"]})
+    media = M.synth_real_media_batch(docs)
+    payloads = media["payload"].to_pylist()
+    assert payloads[0][:2] == b"BM"
+    assert payloads[1][:4] == b"RIFF"
+    out = M.DecodeMedia()(media).to_pandas()
+    assert list(out["decoded"]) == [True, True]
+    img = out.iloc[0]
+    assert (img["width"], img["height"]) == (18, 18)
+    # image features: means in [0,1], histogram sums to 1
+    f = np.array(img["features"])
+    assert 0.0 <= f[0] <= 1.0 and abs(f[6:16].sum() - 1.0) < 1e-5
+    aud = out.iloc[1]
+    assert aud["height"] == 1 and aud["width"] == 800 + 3 % 800
+    fa = np.array(aud["features"])
+    assert fa[0] > 0.1  # rms of a loud sine
+
+
+def test_decode_is_deterministic():
+    docs = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                     "text": ["aa", "bb"]})
+    a = M.DecodeMedia()(M.synth_real_media_batch(docs)).to_pandas()
+    b = M.DecodeMedia()(M.synth_real_media_batch(docs)).to_pandas()
+    assert list(a["features"].iloc[0]) == list(b["features"].iloc[0])
+
+
+def test_real_bmp_resize_subsamples_pixels():
+    yy, xx = np.mgrid[0:40, 0:60]
+    px = np.stack([xx % 256, yy % 256, (xx + yy) % 256],
+                  axis=-1).astype(np.uint8)
+    media = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "kind": ["image"],
+                      "payload": pa.array([M.encode_bmp(px)], pa.binary())})
+    out = M.ResizeImages(max_dim=30)(media).to_pandas().iloc[0]
+    assert max(out["width"], out["height"]) == 30
+    w2, h2, small = M.decode_bmp(out["payload"])
+    assert (w2, h2) == (out["width"], out["height"])
+    # nearest-neighbor: pixel (0,0) preserved; scale factor 2 → (1,1)
+    # of the small image equals (2,2) of the original
+    assert np.array_equal(small[0, 0], px[0, 0])
+    assert np.array_equal(small[1, 1], px[2, 2])
+
+
+def test_wav_frames_are_pcm_slices():
+    sig = np.arange(1000, dtype=np.int16)
+    media = pa.table({"media_id": pa.array([9], pa.int64()),
+                      "kind": ["audio"],
+                      "payload": pa.array([M.encode_wav(sig)], pa.binary())})
+    fr = M.SampleFrames(n_frames=3, frame_bytes=32)(media).to_pandas()
+    assert list(fr["frame_index"]) == [0, 1, 2]
+    first = np.frombuffer(fr["frame"].iloc[0], dtype="<i2")
+    assert np.array_equal(first, sig[:16])
+    last = np.frombuffer(fr["frame"].iloc[2], dtype="<i2")
+    assert np.array_equal(last, sig[984:1000])
+
+
+def test_garbage_payload_isolated():
+    media = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                      "kind": ["image", "audio"],
+                      "payload": pa.array([b"BMgarbage", b"RIFFxxxxWAVEbroken"],
+                                          pa.binary())})
+    out = M.DecodeMedia()(media).to_pandas()
+    assert list(out["decoded"]) == [False, False]
