@@ -10,11 +10,16 @@ document. This variant parallelizes WITHIN documents
            → groupby("url_shard").map_groups(assemble)  # reassembly shuffle
            → extraction rows
 
-The per-page payload travels as zlib-compressed pickled bytes
-(internal shuffle format, never written out; compression cut the
-shuffle 5x and total wall 3.2x). The reassembly sorts by page inside the group, so
-the output is byte-identical to the fused single-pass pipeline
-(property-tested: explode/reassemble roundtrip, FIXTURES.md §5).
+Payloads are ARROW-NATIVE ``list<struct>`` columns end-to-end (typed
+line rows into the page worker; typed region/zone/column/text-part
+rows out of it) — zero-copy through the object store and the
+reassembly shuffle, no opaque pickle blobs. The page/region dicts the
+kernel consumes are rebuilt at the consuming stage boundary with
+``to_pylist`` (field sets verified exhaustively regular in tests).
+
+The reassembly sorts by page inside the group, so the output is
+byte-identical to the fused single-pass pipeline (property-tested:
+explode/reassemble roundtrip, FIXTURES.md §5).
 
 Cost: one all-to-all shuffle keyed by url. Use the fused
 ``extract_pipeline`` by default; switch to this when the corpus has
@@ -23,7 +28,6 @@ mega-documents (or route only oversized rows here and union).
 
 from __future__ import annotations
 
-import pickle
 import zlib
 
 import pandas as pd
@@ -38,15 +42,52 @@ from pdfextract_ray.stages.extract import REF_TYPE
 
 NUM_URL_SHARDS = 1024
 
+# typed page payloads (schemas verified regular across the corpus in
+# tests/test_exploded.py)
+LAYOUT_LINE_T = pa.struct([
+    ("x", pa.float64()), ("y", pa.float64()),
+    ("width", pa.float64()), ("height", pa.float64()),
+    ("line_height", pa.float64()), ("content", pa.string()),
+    ("page", pa.int64()), ("font", pa.string()),
+    ("page_width", pa.float64()), ("page_height", pa.float64()),
+    ("char_w", pa.float64()), ("n_glyphs", pa.int64()),
+    ("last_alnum_w", pa.float64()),
+])
+INNER_LINE_T = pa.struct([
+    ("content", pa.string()), ("spacing", pa.float64()),
+    ("x_offset", pa.float64()), ("y_offset", pa.float64()),
+])
+REGION_T = pa.struct([
+    ("x", pa.float64()), ("y", pa.float64()),
+    ("width", pa.float64()), ("height", pa.float64()),
+    ("font", pa.string()), ("line_height", pa.float64()),
+    ("page", pa.int64()),
+    ("page_width", pa.float64()), ("page_height", pa.float64()),
+    ("lines", pa.list_(INNER_LINE_T)),
+])
+COLUMN_T = pa.struct([
+    ("x", pa.float64()), ("y", pa.float64()),
+    ("width", pa.float64()), ("height", pa.float64()),
+    ("page", pa.int64()),
+    ("page_width", pa.float64()), ("page_height", pa.float64()),
+])
+ZONE_T = pa.struct([
+    ("zone", pa.string()),
+    ("x", pa.float64()), ("y", pa.float64()),
+    ("width", pa.float64()), ("height", pa.float64()),
+    ("page", pa.int64()),
+])
+
 
 def explode_batch(batch: pa.Table) -> pa.Table:
-    """corpus rows → one row per (url, page) carrying that page's lines.
+    """corpus rows → one row per (url, page) carrying that page's lines
+    as a typed ``list<struct>`` (a document with no pages emits one
+    marker row with a NULL lines list so it still reaches reassembly).
 
     ``url_shard`` groups ~NUM_URL_SHARDS Ray-level reassembly groups
     instead of one per url — same rationale as the LSH shard key: Ray's
     per-group overhead dwarfs the work for millions of small groups;
     the per-url grouping happens vectorized inside the shard group."""
-    import zlib
     urls, langs, pages, payloads, shards = [], [], [], [], []
     for url, lang, html in zip(batch["url"].to_pylist(),
                                batch["lang"].to_pylist(),
@@ -57,42 +98,61 @@ def explode_batch(batch: pa.Table) -> pa.Table:
             urls.append(url)
             langs.append(lang)
             pages.append(0)
-            payloads.append(zlib.compress(pickle.dumps(None), 1))
+            payloads.append(None)
             shards.append(shard)
             continue
         for page_no, lines in page_map.items():
             urls.append(url)
             langs.append(lang)
             pages.append(page_no)
-            payloads.append(zlib.compress(pickle.dumps(lines, protocol=pickle.HIGHEST_PROTOCOL), 1))
+            payloads.append(lines)
             shards.append(shard)
     return pa.table({
         "url_shard": pa.array(shards, pa.int32()),
         "url": pa.array(urls, pa.string()),
         "lang": pa.array(langs, pa.string()),
         "page": pa.array(pages, pa.int32()),
-        "lines": pa.array(payloads, pa.binary()),
+        "lines": pa.array(payloads, pa.list_(LAYOUT_LINE_T)),
     })
 
 
 class PageWorker:
-    """Actor-pool per-page stage."""
+    """Actor-pool per-page stage: typed line rows in → typed page
+    results (regions/columns/zones/text parts) out."""
 
     def __init__(self, settings: Settings | None = None) -> None:
         self.settings = settings or DEFAULT_SETTINGS
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = []
-        for payload in batch["lines"].to_pylist():
-            lines = pickle.loads(zlib.decompress(payload))
-            pr = process_page(lines, self.settings) if lines else None
-            results.append(zlib.compress(pickle.dumps(pr, protocol=pickle.HIGHEST_PROTOCOL), 1))
+        n_glyphs, n_chunks = [], []
+        regions, columns, zones, text_parts = [], [], [], []
+        for lines in batch["lines"].to_pylist():
+            if lines is None:
+                n_glyphs.append(None)
+                n_chunks.append(None)
+                regions.append(None)
+                columns.append(None)
+                zones.append(None)
+                text_parts.append(None)
+                continue
+            pr = process_page(lines, self.settings)
+            n_glyphs.append(pr["n_glyphs"])
+            n_chunks.append(pr["n_chunks"])
+            regions.append(pr["regions"])
+            columns.append(pr["columns"])
+            zones.append(pr["zones"])
+            text_parts.append(pr["text_parts"])
         return pa.table({
             "url_shard": batch["url_shard"],
             "url": batch["url"],
             "lang": batch["lang"],
             "page": batch["page"],
-            "result": pa.array(results, pa.binary()),
+            "n_glyphs": pa.array(n_glyphs, pa.int64()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "regions": pa.array(regions, pa.list_(REGION_T)),
+            "columns": pa.array(columns, pa.list_(COLUMN_T)),
+            "zones": pa.array(zones, pa.list_(ZONE_T)),
+            "text_parts": pa.array(text_parts, pa.list_(pa.string())),
         })
 
 
@@ -108,26 +168,39 @@ def _gazetteer() -> dict:
     return _GAZETTEER
 
 
-def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> pd.DataFrame:
+ASSEMBLE_SCHEMA = pa.schema([
+    ("url", pa.string()), ("lang", pa.string()),
+    ("title", pa.string()), ("text", pa.string()),
+    ("references", REF_TYPE),
+    ("n_pages", pa.int64()), ("n_tokens", pa.int64()),
+    ("n_refs", pa.int64()),
+])
+
+
+def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> pa.Table:
     """Reassemble every document of one url shard (groupby(url_shard)
-    group; per-url grouping happens here in pandas)."""
+    group; per-url grouping happens here in pandas). Returns a TYPED
+    Arrow table — pandas inference would type an all-empty
+    ``references`` block as ``list<null>``, which cannot unify with
+    ``list<struct>`` blocks at write time."""
     if not len(df):  # typed empty: Ray may call map_groups on empty blocks
-        return pd.DataFrame({"url": pd.Series(dtype="object"),
-                             "lang": pd.Series(dtype="object"),
-                             "title": pd.Series(dtype="object"),
-                             "text": pd.Series(dtype="object"),
-                             "references": pd.Series(dtype="object"),
-                             "n_pages": pd.Series(dtype="int64"),
-                             "n_tokens": pd.Series(dtype="int64"),
-                             "n_refs": pd.Series(dtype="int64")})
+        return ASSEMBLE_SCHEMA.empty_table()
     gaz = _gazetteer()
     rows: dict[str, list] = {"url": [], "lang": [], "title": [], "text": [],
                              "references": [], "n_pages": [], "n_tokens": [],
                              "n_refs": []}
     for url, g in df.groupby("url", sort=True):
         g = g.sort_values("page")
-        page_results = [pickle.loads(zlib.decompress(b)) for b in g["result"]]
-        page_results = [pr for pr in page_results if pr is not None]
+        page_results = []
+        for ng, nc, regs, cols, zns, tp in zip(
+                g["n_glyphs"], g["n_chunks"], g["regions"], g["columns"],
+                g["zones"], g["text_parts"]):
+            if ng is None or (isinstance(ng, float) and pd.isna(ng)):
+                continue  # no-pages marker row
+            page_results.append({
+                "n_glyphs": int(ng), "n_chunks": int(nc),
+                "regions": _to_dicts(regs), "columns": _to_dicts(cols),
+                "zones": _to_dicts(zns), "text_parts": list(tp)})
         res = assemble_document(page_results, settings, gaz)
         rows["url"].append(url)
         rows["lang"].append(g["lang"].iloc[0])
@@ -138,24 +211,125 @@ def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> p
         rows["n_pages"].append(res.n_pages)
         rows["n_tokens"].append(res.n_tokens)
         rows["n_refs"].append(len(res.references))
-    return pd.DataFrame(rows)
+    return pa.table(
+        {name: pa.array(rows[name], ASSEMBLE_SCHEMA.field(name).type)
+         for name in ASSEMBLE_SCHEMA.names})
+
+
+def _to_dicts(objs) -> list[dict]:
+    """Normalize a struct-list cell (the Arrow→pandas round-trip
+    surfaces numpy arrays for list values) to plain list-of-dict with
+    plain-list nested 'lines' — the kernel relies on list/dict
+    semantics (truthiness, extend)."""
+    if objs is None:
+        return []
+    out = []
+    for o in objs:
+        d = dict(o)
+        if "lines" in d and d["lines"] is not None:
+            d["lines"] = [dict(l) for l in d["lines"]]
+        out.append(d)
+    return out
 
 
 def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
-                     concurrency: int | tuple | None = None):
-    """Attach the exploded pipeline to a corpus Dataset."""
+                     concurrency: int | tuple | None = None,
+                     shuffle_partitions: int | None = None):
+    """Attach the exploded pipeline to a corpus Dataset.
+
+    ``shuffle_partitions`` coalesces the page-result blocks before the
+    reassembly groupby: the range sort's task count is quadratic in
+    block count, and Arrow ``take`` on nested ``list<struct>`` columns
+    is row-wise — fewer, larger blocks cut the shuffle wall time ~3x
+    (measured 23s → 8s at sf0.1/32cpu). Default: one partition per
+    CPU-pool slot, min 8."""
     import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
         n = max(1, min(ncpu * 3 // 4, ncpu - 2))
         concurrency = (n, n)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, ncpu // 4)
     pages = ds.map_batches(explode_batch, batch_format="pyarrow")
     processed = pages.map_batches(
         PageWorker, batch_format="pyarrow", batch_size=64,
         fn_constructor_kwargs=dict(settings=settings),
         concurrency=concurrency, num_cpus=1,
     )
-    return processed.groupby("url_shard").map_groups(
-        assemble_group, batch_format="pandas",
-        fn_kwargs=dict(settings=settings),
+    return processed.repartition(shuffle_partitions) \
+        .groupby("url_shard").map_groups(
+            assemble_group, batch_format="pandas",
+            fn_kwargs=dict(settings=settings),
     )
+
+
+EXPLODED_COLUMNS = ["url", "lang", "title", "text", "references",
+                    "n_pages", "n_tokens", "n_refs"]
+
+
+def extract_adaptive(ds, settings: Settings = DEFAULT_SETTINGS,
+                     threshold_bytes: int = 64 * 1024,
+                     concurrency: tuple | None = None):
+    """Skew router: documents at or under ``threshold_bytes`` of HTML go
+    through the FUSED per-document pipeline (no shuffle); oversized
+    documents go through the page-exploded path so a mega-document
+    parallelizes across the pool instead of stalling one actor. Byte
+    size is the routing proxy (pages scale with bytes) so the route
+    decision is a vectorized filter — no double layout pass, no
+    mid-pipeline materialize. Outputs union to one Dataset with
+    identical schema/rows as either pure path.
+
+    Cost model: the corpus is READ twice (binary length is not a
+    parquet-pushdown predicate). At cluster scale, corpora that carry a
+    size metadata column should route with
+    ``read_parquet(filter=pc.field(size_col) > T)`` instead — row-group
+    min/max stats then prune the (usually empty) mega-doc side to
+    nothing before any html bytes move."""
+    import pyarrow.compute as pc
+    import ray
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset
+
+    # Two actor pools run CONCURRENTLY (one per branch). Two fixed
+    # pools each sized to the whole cluster would reserve every CPU and
+    # deadlock the stream (round-1 pitfall). The FUSED branch carries
+    # ~all rows under a realistic threshold, so it gets a FIXED pool
+    # (autoscaling-from-1 ramps 2.6x too slowly for compute-bound
+    # stages — measured round 1); the exploded branch idles unless
+    # mega-docs appear, so it autoscales from 1 and stays small.
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    if concurrency is None:
+        fused_n = max(1, min(ncpu * 3 // 4, ncpu - 3))
+        fused_conc = (fused_n, fused_n)
+        expl_conc = (1, max(1, ncpu // 8))
+    else:
+        fused_conc = expl_conc = concurrency
+
+    def _small(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(
+            pc.binary_length(pc.fill_null(t["html"], b"")), threshold_bytes))
+
+    def _big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(
+            pc.binary_length(pc.fill_null(t["html"], b"")), threshold_bytes))
+
+    target = pa.schema([
+        ("url", pa.string()), ("lang", pa.string()),
+        ("title", pa.string()), ("text", pa.string()),
+        ("references", REF_TYPE),
+        ("n_pages", pa.int32()), ("n_tokens", pa.int64()),
+        ("n_refs", pa.int32()),
+    ])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return t.select(target.names).cast(target)
+
+    fused = extract_dataset(ds.map_batches(_small, batch_format="pyarrow"),
+                            settings=settings, with_spans=False,
+                            concurrency=fused_conc) \
+        .select_columns(EXPLODED_COLUMNS) \
+        .map_batches(_norm, batch_format="pyarrow")
+    exploded = extract_exploded(ds.map_batches(_big, batch_format="pyarrow"),
+                                settings=settings, concurrency=expl_conc) \
+        .select_columns(EXPLODED_COLUMNS) \
+        .map_batches(_norm, batch_format="pyarrow")
+    return fused.union(exploded)

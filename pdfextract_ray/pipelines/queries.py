@@ -79,6 +79,19 @@ def q_extract_exploded(sf_dir: str):
     return extract_exploded(read_corpus(corpus))
 
 
+def q_extract_adaptive(sf_dir: str):
+    """Hybrid skew router: small docs through the fused pipeline,
+    oversized docs through the page-exploded path; union of both.
+    Threshold set inside the corpus size distribution so both branches
+    run even at test scale."""
+    from pdfextract_ray.pipelines.exploded import extract_adaptive
+    from pdfextract_ray.pipelines.extract_pipeline import read_corpus
+    from pdfextract_ray.sources.corpus import ensure_corpus
+
+    corpus = ensure_corpus(sf_dir)
+    return extract_adaptive(read_corpus(corpus), threshold_bytes=7000)
+
+
 def q_extract_references(sf_dir: str):
     """Exploded citation rows from the cached extraction output."""
     ds = _read_extracted(sf_dir, columns=["url", "references"])
@@ -897,6 +910,7 @@ def build_queries() -> dict:
         # flagship extraction (non-SQL; rows-only driver check)
         "extract_flagship": q_extract_flagship,
         "extract_exploded": q_extract_exploded,
+        "extract_adaptive": q_extract_adaptive,
         "extract_references": q_extract_references,
         "extract_titles": q_extract_titles,
         "extract_xml": q_extract_xml,

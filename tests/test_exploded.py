@@ -52,3 +52,33 @@ def test_exploded_handles_empty_and_null_html(ray_session):
     assert out.loc["empty", "text"] == ""
     assert out.loc["null", "text"] == ""
     assert len(out) == 3
+
+
+def test_adaptive_router_equals_fused(ray_session, corpus_path):
+    """Hybrid skew router: small docs fused, oversized exploded; union
+    equals the pure-fused output row-for-row."""
+    import pandas as pd
+    from pdfextract_ray.pipelines.exploded import EXPLODED_COLUMNS, extract_adaptive
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset, read_corpus
+
+    # threshold in the middle of the corpus size distribution → both
+    # branches exercised
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import glob
+    sizes = sorted(len(h) for h in pq.read_table(
+        glob.glob(corpus_path + "/*.parquet"))["html"].to_pylist())
+    thr = sizes[len(sizes) // 2]
+
+    got = extract_adaptive(read_corpus(corpus_path), threshold_bytes=thr) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    # both branches non-empty
+    assert 0 < sum(1 for s in sizes if s <= thr) < len(sizes)
+
+    exp = extract_dataset(read_corpus(corpus_path), with_spans=False) \
+        .to_pandas()[EXPLODED_COLUMNS].sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(exp["url"])
+    for col in ["title", "text", "n_pages", "n_tokens", "n_refs"]:
+        pd.testing.assert_series_equal(got[col], exp[col], check_names=False)
+    assert all(list(a) == list(b) for a, b in zip(got["references"],
+                                                  exp["references"]))
