@@ -58,7 +58,8 @@ def run_bench() -> dict:
     if os.environ.get("BENCH_QUERIES", "1") != "0":
         queries = build_queries()
         for name in ("q1_pricing", "doc_stats", "dedup_exact", "dedup_minhash",
-                     "knn_cosine", "events_hourly"):
+                     "knn_cosine", "events_hourly", "events_asof_join",
+                     "top_bigrams"):
             tq = time.time()
             res = queries[name](SF_DIR)
             if hasattr(res, "to_pandas"):

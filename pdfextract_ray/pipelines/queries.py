@@ -871,6 +871,27 @@ UNION ALL
 SELECT doc_id, n_chars FROM documents WHERE n_chars > 450
 """
 
+_TOP_DOCS_PER_LANG_SQL = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+_SUPPLIER_BALANCE_SQL = """
+SELECT r_name,
+       SUM(CAST(round(s_acctbal * 10000, 0) AS BIGINT)) / 10000.0 AS total_bal,
+       max(s_acctbal) AS max_bal, count(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
 _EVENTS_ROLLING_SQL = """
 SELECT event_id, user_id, ts,
   SUM(CAST(round(value * 10000, 0) AS BIGINT)) OVER (
@@ -950,6 +971,8 @@ def build_queries() -> dict:
         "events_rolling": rel.events_rolling,
         "events_asof_join": rel.events_asof_join,
         "events_range_join": rel.events_range_join,
+        "top_docs_per_lang": rel.top_docs_per_lang,
+        "supplier_balance_by_region": rel.supplier_balance_by_region,
         "part_brand_stats": rel.part_brand_stats,
         "distinct_event_types": rel.distinct_event_types,
         "doc_length_histogram": rel.doc_length_histogram,
@@ -979,6 +1002,8 @@ def build_oracles() -> dict:
         "events_rolling": _EVENTS_ROLLING_SQL,
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
+        "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
+        "supplier_balance_by_region": _SUPPLIER_BALANCE_SQL,
         "doc_rolling_fp": _ROLLING_FP_SQL,
         "part_brand_stats": _PART_BRAND_SQL,
         "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,

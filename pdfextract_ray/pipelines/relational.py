@@ -523,3 +523,72 @@ def events_range_join(sf_dir: str) -> "ray.data.Dataset":
                          "n_events": t["n_events"]})
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Grouped top-k (rank window shape): the k longest docs per
+    language, deterministic (n_chars desc, doc_id asc) tie-break.
+    One shuffle keyed by lang; per-group vectorized nlargest."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"),
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "n_chars": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64")})
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        return g[["lang", "doc_id", "n_chars", "rank"]]
+
+    return ds.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def supplier_balance_by_region(sf_dir: str) -> "ray.data.Dataset":
+    """supplier ⋈ nation ⋈ region via one composed broadcast dict
+    (both dimensions are tiny) → account-balance rollup per region."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max, Sum
+
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(_pq(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    n2r = {nk: rmap[rk] for nk, rk in zip(nat["n_nationkey"].to_pylist(),
+                                          nat["n_regionkey"].to_pylist())}
+    lookup_ref = ray.put(n2r)  # broadcast ONCE
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "supplier"),
+                               columns=["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table, _ref=lookup_ref) -> pa.Table:
+        n2r_ = ray.get(_ref)
+        names = [n2r_[nk] for nk in t["s_nationkey"].to_pylist()]
+        g = pa.table({"r_name": pa.array(names, pa.string()),
+                      "bal": to_ticks(t["s_acctbal"]),
+                      "bal_max": t["s_acctbal"],
+                      "n": pa.array([1] * t.num_rows, pa.int64())})
+        return (g.group_by("r_name")
+                 .aggregate([("bal", "sum"), ("bal_max", "max"), ("n", "sum")])
+                 .rename_columns(["r_name", "bal", "bal_max", "n"]))
+
+    rolled = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(2) \
+        .groupby("r_name").aggregate(
+            Sum("bal", alias_name="total_bal"),
+            Max("bal_max", alias_name="max_bal"),
+            Sum("n", alias_name="n_suppliers"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"r_name": t["r_name"],
+                         "total_bal": from_ticks(t["total_bal"]),
+                         "max_bal": t["max_bal"],
+                         "n_suppliers": t["n_suppliers"]})
+
+    return rolled.map_batches(finish, batch_format="pyarrow")

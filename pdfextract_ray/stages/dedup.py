@@ -165,70 +165,104 @@ def connected_components(pairs: "pd.DataFrame") -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
-def label_propagation_components(pairs_ds, max_iters: int = 8):
+def label_propagation_components(pairs_ds, max_iters: int = 8,
+                                 shard_mask: int = 0xFF):
     """Distributed connected components over a pair Dataset (a, b):
     iterative min-label propagation — the 10^12-doc alternative to
     driver-side union-find (ray_guide "Aggregation at scale").
 
     Join-free formulation (Ray 2.49's hash join mishandles empty
     partitions in iterated plans): each round unions the label rows
-    with the adjacency rows and groups by node — a group sees the
-    node's current min label AND its neighbors, so it broadcasts that
-    label to each neighbor; a Min-aggregate then folds the proposals.
+    with the adjacency rows, groups by a NODE-HASH SHARD (≤256 Ray
+    groups — per-node groups would pay Ray's per-group overhead once
+    per node per round), and runs the propose/reduce steps as
+    vectorized pandas inside each shard: every node's current min
+    label is broadcast to its neighbors via one merge, and proposals
+    are folded with a groupby-min keyed by the TARGET node's shard.
     Cluster diameters after near-dup verification are tiny, so few
     rounds converge; ``max_iters`` bounds the worst case.
 
     Returns a Dataset of (node, label), label = min node id in the
     component.
     """
+    import numpy as np
     import pandas as pd
-    from ray.data.aggregate import Min
 
     def explode(t: pa.Table) -> pa.Table:
         a = pc_cast(t["a"])
         b = pc_cast(t["b"])
-        n = len(a)
+        node = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        shard = np.bitwise_and(node.to_numpy(zero_copy_only=False),
+                               shard_mask).astype(np.int32)
         return pa.table({
-            "node": pa.concat_arrays([a, b]),
-            "dst": pa.concat_arrays([b, a]),
-            "label": pa.array([None] * (2 * n), pa.int64()),
+            "shard": pa.array(shard, pa.int32()),
+            "node": node,
+            "dst": dst,
+            "label": pa.array([None] * len(node), pa.int64()),
         })
 
-    adjacency = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    adjacency = pairs_ds.map_batches(explode, batch_format="pyarrow") \
+        .repartition(4).materialize()
 
-    labels = adjacency.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
-        batch_format="pyarrow",
-    ).groupby("node").aggregate(Min("label", alias_name="label"))
-
-    def as_state(t: pa.Table) -> pa.Table:
+    def _pack(node: np.ndarray, label: np.ndarray) -> pa.Table:
+        """Typed state rows (dst all-null) — identical schema to the
+        adjacency table so union blocks always unify."""
+        node = np.asarray(node, dtype=np.int64)
         return pa.table({
-            "node": pc_cast(t["node"]),
-            "dst": pa.array([None] * t.num_rows, pa.int64()),
-            "label": pc_cast(t["label"]),
+            "shard": pa.array((node & shard_mask).astype(np.int32), pa.int32()),
+            "node": pa.array(node, pa.int64()),
+            "dst": pa.array([None] * len(node), pa.int64()),
+            "label": pa.array(np.asarray(label, dtype=np.int64), pa.int64()),
         })
 
-    def propose(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):  # typed empty: keep block schemas identical
-            return pd.DataFrame({"node": pd.Series(dtype="int64"),
-                                 "label": pd.Series(dtype="int64")})
-        lab = int(df["label"].min())  # the node's current min label
-        dsts = df["dst"].dropna().astype("int64")
-        nodes = [int(df["node"].iloc[0])] + list(dsts)
-        return pd.DataFrame({"node": pd.Series(nodes, dtype="int64"),
-                             "label": pd.Series([lab] * len(nodes), dtype="int64")})
+    _EMPTY_STATE = _pack(np.array([], dtype=np.int64),
+                         np.array([], dtype=np.int64))
+
+    def init_labels(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _EMPTY_STATE
+        nodes = df["node"].unique()
+        return _pack(nodes, nodes)
+
+    labels = adjacency.groupby("shard") \
+        .map_groups(init_labels, batch_format="pandas")
+
+    def propose_shard(df: pd.DataFrame) -> pa.Table:
+        """One shard of labels ∪ adjacency → label proposals keyed by
+        the target node's shard (all vectorized)."""
+        if not len(df):
+            return _EMPTY_STATE
+        lab = df[df["label"].notna()][["node", "label"]]
+        cur = lab.groupby("node", as_index=False)["label"].min()
+        adj = df[df["label"].isna()][["node", "dst"]]
+        to_nbr = adj.merge(cur, on="node")[["dst", "label"]] \
+            .rename(columns={"dst": "node"})
+        out = pd.concat([cur, to_nbr], ignore_index=True)
+        return _pack(out["node"].to_numpy(dtype=np.int64),
+                     out["label"].to_numpy(dtype=np.int64))
+
+    def reduce_shard(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _EMPTY_STATE
+        out = df.groupby("node", as_index=False)["label"].min()
+        return _pack(out["node"].to_numpy(dtype=np.int64),
+                     out["label"].to_numpy(dtype=np.int64))
 
     for _ in range(max_iters):
-        state = labels.map_batches(as_state, batch_format="pyarrow") \
-            .union(adjacency)
-        proposals = state.groupby("node").map_groups(propose, batch_format="pandas")
-        new_labels = proposals.groupby("node") \
-            .aggregate(Min("label", alias_name="label")).materialize()
+        state = labels.union(adjacency)
+        proposals = state.groupby("shard") \
+            .map_groups(propose_shard, batch_format="pandas")
+        new_labels = proposals.groupby("shard") \
+            .map_groups(reduce_shard, batch_format="pandas").materialize()
         old_sum = labels.sum("label")
         labels = new_labels
         if labels.sum("label") == old_sum:
             break
-    return labels
+    return labels.map_batches(
+        lambda t: pa.table({"node": pc_cast(t["node"]),
+                            "label": pc_cast(t["label"])}),
+        batch_format="pyarrow")
 
 
 def pc_cast(arr):

@@ -69,3 +69,17 @@ def test_events_range_join_totals(ray_session, events_df):
     assert int(got.loc["mid", "n_events"]) == len(mid)
     ticks = (lo["value"] * 10000.0).round().astype("int64").sum()
     assert got.loc["low", "sum_value"] == ticks / 10000.0
+
+
+def test_top_docs_per_lang_grouped_topk(ray_session):
+    from pdfextract_ray.pipelines.relational import top_docs_per_lang
+    import duckdb
+    got = top_docs_per_lang(SF).to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    docs = duckdb.sql(
+        "SELECT * FROM read_parquet('%s/documents.parquet')" % SF).df()
+    for lang, g in got.groupby("lang"):
+        exp = docs[docs["lang"] == lang] \
+            .sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        assert list(g.sort_values("rank")["doc_id"]) == list(exp["doc_id"])
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
