@@ -243,6 +243,100 @@ def q_curate_corpus(sf_dir: str):
         .select_columns(["url", "lang", "title", "n_refs", "n_tokens"])
 
 
+def q_curate_corpus_neardup(sf_dir: str):
+    """The full curation flagship: extraction → quality filter → exact
+    dedup (min-url per text hash) → MinHash-LSH near-dup clustering
+    (distributed label propagation) → cluster representatives only.
+    The end-to-end composition a 100-TB webtext curation job runs."""
+    ds = _read_extracted(sf_dir, columns=["url", "title", "text", "lang",
+                                          "n_refs", "n_tokens", "error"])
+    return curate_neardup(ds)
+
+
+def curate_neardup(ds):
+    """Quality filter → exact dedup → near-dup clustering → reps, over
+    any Dataset with (url, title, text, lang, n_refs, n_tokens). All
+    shuffles move hashes/ids/metadata, never raw text, except the LSH
+    band stage whose rows carry only 64x8-byte signatures. The final
+    drop-set (near-dup non-representatives) is the tiny clustered
+    residue — broadcast once."""
+    import hashlib
+    import zlib
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from pdfextract_ray.stages.dedup import (label_propagation_components,
+                                             minhash_bands_batch,
+                                             shard_pairs_group)
+
+    def keep_quality(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t["title"]),
+                     pc.and_(pc.greater(t["n_refs"], 0),
+                             pc.greater(pc.utf8_length(
+                                 pc.fill_null(t["text"], "")), 200)))
+        return t.filter(pc.fill_null(ok, False))
+
+    def hash_id_project(t: pa.Table) -> pa.Table:
+        """text hash for exact dedup + stable 63-bit doc id from url."""
+        hashes, ids = [], []
+        for url, text in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            hashes.append(hashlib.md5((text or "").encode()).hexdigest())
+            ids.append(int.from_bytes(
+                hashlib.md5(url.encode()).digest()[:8], "big") >> 1)
+        shards = [zlib.crc32(h.encode()) & 0xFF for h in hashes]
+        return pa.table({
+            "shard": pa.array(shards, pa.int32()),
+            "text_hash": pa.array(hashes, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": t["url"], "lang": t["lang"], "title": t["title"],
+            "text": t["text"],
+            "n_refs": t["n_refs"], "n_tokens": t["n_tokens"],
+        })
+
+    filtered = ds.map_batches(keep_quality, batch_format="pyarrow") \
+                 .map_batches(hash_id_project, batch_format="pyarrow")
+
+    def keep_min_url(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=dt) for c, dt in [
+                ("shard", "int32"), ("text_hash", "object"),
+                ("doc_id", "int64"), ("url", "object"), ("lang", "object"),
+                ("title", "object"), ("text", "object"),
+                ("n_refs", "int64"), ("n_tokens", "int64")]})
+        return df.sort_values(["text_hash", "url"]) \
+                 .drop_duplicates("text_hash", keep="first")
+
+    exact = filtered.groupby("shard") \
+        .map_groups(keep_min_url, batch_format="pandas").materialize()
+
+    bands = exact.select_columns(["doc_id", "text"]) \
+        .map_batches(minhash_bands_batch, batch_format="pyarrow")
+    pairs = bands.groupby("shard") \
+        .map_groups(shard_pairs_group, batch_format="pandas").materialize()
+
+    if pairs.count() == 0:
+        return exact.select_columns(["url", "lang", "title",
+                                     "n_refs", "n_tokens"])
+    labels = label_propagation_components(pairs)
+    dropped = labels.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(
+            t["node"].combine_chunks() if hasattr(t["node"], "combine_chunks")
+            else t["node"], pa.int64())}).filter(
+            pc.not_equal(t["node"], t["label"])),
+        batch_format="pyarrow")
+    drop_ids = set(dropped.unique("doc_id"))  # tiny near-dup residue
+    drop_ref = ray.put(drop_ids)
+
+    def keep_reps(t: pa.Table, _ref=drop_ref) -> pa.Table:
+        dropped_ = ray.get(_ref)
+        mask = pa.array([i not in dropped_ for i in t["doc_id"].to_pylist()],
+                        pa.bool_())
+        return t.filter(mask)
+
+    return exact.map_batches(keep_reps, batch_format="pyarrow") \
+        .select_columns(["url", "lang", "title", "n_refs", "n_tokens"])
+
+
 # ----------------------------------------------------------- text analysis
 
 def q_doc_stats(sf_dir: str):
@@ -939,6 +1033,7 @@ def build_queries() -> dict:
         "resolved_references": q_resolved_references,
         "bibtex": q_bibtex,
         "curate_corpus": q_curate_corpus,
+        "curate_corpus_neardup": q_curate_corpus_neardup,
         "extraction_metrics": q_extraction_metrics,
         # text analysis (oracled)
         "doc_stats": q_doc_stats,

@@ -195,11 +195,14 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
         dst = pa.concat_arrays([b, a])
         shard = np.bitwise_and(node.to_numpy(zero_copy_only=False),
                                shard_mask).astype(np.int32)
+        # -1 sentinels, NOT nulls: a nullable int64 column becomes
+        # float64 in the map_groups pandas conversion, silently
+        # corrupting ids above 2^53 (doc ids here are 63-bit hashes)
         return pa.table({
             "shard": pa.array(shard, pa.int32()),
             "node": node,
             "dst": dst,
-            "label": pa.array([None] * len(node), pa.int64()),
+            "label": pa.array(np.full(len(node), -1, dtype=np.int64)),
         })
 
     adjacency = pairs_ds.map_batches(explode, batch_format="pyarrow") \
@@ -212,7 +215,7 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
         return pa.table({
             "shard": pa.array((node & shard_mask).astype(np.int32), pa.int32()),
             "node": pa.array(node, pa.int64()),
-            "dst": pa.array([None] * len(node), pa.int64()),
+            "dst": pa.array(np.full(len(node), -1, dtype=np.int64)),
             "label": pa.array(np.asarray(label, dtype=np.int64), pa.int64()),
         })
 
@@ -233,9 +236,9 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
         the target node's shard (all vectorized)."""
         if not len(df):
             return _EMPTY_STATE
-        lab = df[df["label"].notna()][["node", "label"]]
+        lab = df[df["label"] >= 0][["node", "label"]]
         cur = lab.groupby("node", as_index=False)["label"].min()
-        adj = df[df["label"].isna()][["node", "dst"]]
+        adj = df[df["label"] < 0][["node", "dst"]]
         to_nbr = adj.merge(cur, on="node")[["dst", "label"]] \
             .rename(columns={"dst": "node"})
         out = pd.concat([cur, to_nbr], ignore_index=True)

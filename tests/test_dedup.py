@@ -98,3 +98,36 @@ def test_ray_minhash_pipeline_plants(ray_session):
     assert comp.get(100) == 100 and comp.get(101) == 100
     # 102 is near-dup of BASE; should join the same cluster
     assert comp.get(102) == 100
+
+
+def test_curate_neardup_drops_planted_near_duplicates(ray_session):
+    """End-to-end curation composition: exact dupes fold to min url,
+    near-dupes (one word changed) cluster and keep one representative."""
+    import pyarrow as pa
+    import ray.data
+    from pdfextract_ray.pipelines.queries import curate_neardup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    near = base.replace("sigma", "sigmoid")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen ") * 4
+    rows = {
+        "url": ["http://a/1", "http://a/2", "http://b/1", "http://c/1"],
+        "title": ["T1", "T2", "T3", "T4"],
+        "text": [base, base, near, other],   # a/2 exact dup; b/1 near dup
+        "lang": ["en"] * 4,
+        "n_refs": [1, 1, 1, 1],
+        "n_tokens": [100] * 4,
+        "error": [None] * 4,
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = curate_neardup(ds).to_pandas()
+    # exact dup a/2 folds into a/1 (min url per text hash); a/1 and b/1
+    # form one near-dup cluster keeping its min-hash-id member as
+    # representative; c/1 is unrelated and kept
+    import hashlib
+    rep = min(["http://a/1", "http://b/1"],
+              key=lambda u: int.from_bytes(
+                  hashlib.md5(u.encode()).digest()[:8], "big") >> 1)
+    assert sorted(out["url"]) == sorted([rep, "http://c/1"])
