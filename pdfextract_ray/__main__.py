@@ -72,6 +72,8 @@ def main(argv=None) -> int:
 
     sp_s = sub.add_parser("spans", help="bbox spans parquet (mark analogue)")
     common(sp_s)
+    sp_s.add_argument("--svg", action="store_true",
+                      help="also render the PdfView 'mark' SVG overlay column")
 
     sp_x = sub.add_parser(
         "xml", help="full XmlView render of requested spatial types")
@@ -132,6 +134,9 @@ def main(argv=None) -> int:
         elif args.cmd == "spans":
             out = reg.build(ds, ["extract"], ctx) \
                 .select_columns(["url", "spans"])
+            if args.svg:
+                from pdfextract_ray.views import render_mark_batch
+                out = out.map_batches(render_mark_batch, batch_format="pyarrow")
             out.write_parquet(args.out)
         elif args.cmd == "xml":
             from pdfextract_ray.views import ALL_SPATIAL_TYPES, XmlSpatials

@@ -140,6 +140,14 @@ def q_extract_xml_spatials(sf_dir: str):
         fn_constructor_kwargs=dict(types=ALL_SPATIAL_TYPES))
 
 
+def q_extract_mark_svg(sf_dir: str):
+    """PdfView "mark" visual overlay: per-doc SVG with one translucent
+    rectangle per region/zone span (pdf_view.rb analogue)."""
+    from pdfextract_ray.views import render_mark_batch
+    return _read_extracted(sf_dir, columns=["url", "spans"]) \
+        .map_batches(render_mark_batch, batch_format="pyarrow")
+
+
 def q_resolved_references(sf_dir: str):
     """Mock-resolver enrichment over exploded refs (I/O-pool shape)."""
     from pdfextract_ray.stages.resolve import ResolveReferences
@@ -1030,6 +1038,7 @@ def build_queries() -> dict:
         "extract_titles": q_extract_titles,
         "extract_xml": q_extract_xml,
         "extract_xml_spatials": q_extract_xml_spatials,
+        "extract_mark_svg": q_extract_mark_svg,
         "resolved_references": q_resolved_references,
         "bibtex": q_bibtex,
         "curate_corpus": q_curate_corpus,

@@ -257,3 +257,55 @@ class XmlSpatials:
                             % escape("%s: %s" % (type(exc).__name__, exc)))
         return pa.table({"url": batch["url"],
                          "xml": pa.array(xmls, pa.string())})
+
+
+# --------------------------------------------------- PdfView "mark" overlay
+
+# pdf_view.rb auto_colors (abstract_view.rb:4-6): one color per spatial
+# type, in request order
+MARK_COLORS = ("ff0000", "00ff00", "0000ff", "ffff00",
+               "ff7f00", "ffc0cb", "800080", "f0e68c", "a52a2a")
+
+
+def render_mark_svg(spans: list[dict], page_width: float = 612.0,
+                    page_height: float = 792.0) -> str:
+    """Visual analogue of the reference's PdfView "mark" sink
+    (``view/pdf_view.rb:7-39``): one SVG per document, one ``<g>`` per
+    page, a 0.2-opacity filled rectangle per spatial object, colored by
+    type in the reference's auto-color order. The PDF y-axis points UP;
+    SVG's points down, so ``y_svg = page_height - (y + height)``.
+    (The reference draws into the source PDF with Prawn; an SVG
+    overlay is the renderable equivalent without a PDF writer.)"""
+    by_page: dict[int, list[dict]] = {}
+    kinds: list[str] = []
+    for s in spans or []:
+        by_page.setdefault(s["page"], []).append(s)
+        if s["kind"] not in kinds:
+            kinds.append(s["kind"])
+    color_of = {k: MARK_COLORS[i % len(MARK_COLORS)]
+                for i, k in enumerate(kinds)}
+    n_pages = max(by_page) if by_page else 0
+    out = ['<svg xmlns="http://www.w3.org/2000/svg" width="%s" height="%s">'
+           % (_fmt(page_width), _fmt(float(n_pages) * page_height))]
+    for page in sorted(by_page):
+        oy = (page - 1) * page_height
+        out.append('  <g id="page%d">' % page)
+        out.append('    <rect x="0" y="%s" width="%s" height="%s" '
+                   'fill="none" stroke="#888"/>'
+                   % (_fmt(oy), _fmt(page_width), _fmt(page_height)))
+        for s in by_page[page]:
+            y = oy + page_height - (s["y"] + s["height"])
+            out.append(
+                '    <rect x="%s" y="%s" width="%s" height="%s" '
+                'fill="#%s" fill-opacity="0.2" data-kind="%s"/>'
+                % (_fmt(s["x"]), _fmt(y), _fmt(s["width"]),
+                   _fmt(s["height"]), color_of[s["kind"]], s["kind"]))
+        out.append("  </g>")
+    out.append("</svg>")
+    return "\n".join(out)
+
+
+def render_mark_batch(batch: pa.Table) -> pa.Table:
+    svgs = [render_mark_svg(s) for s in batch["spans"].to_pylist()]
+    return pa.table({"url": batch["url"],
+                     "svg": pa.array(svgs, pa.string())})

@@ -102,3 +102,28 @@ def test_cli_xml_command(ray_session, tmp_path):
     assert t.num_rows == 500
     xml = t.column("xml")[0].as_py()
     assert xml.startswith("<pdf>")
+
+
+def test_mark_svg_overlay():
+    """PdfView 'mark' analogue: translucent rect per span, PDF y-axis
+    flipped into SVG coordinates, per-type auto-colors."""
+    from pdfextract_ray.views import MARK_COLORS, render_mark_svg
+    spans = [
+        {"kind": "region", "page": 1, "x": 72.0, "y": 700.0,
+         "width": 100.0, "height": 20.0},
+        {"kind": "header", "page": 2, "x": 10.0, "y": 768.0,
+         "width": 50.0, "height": 8.0},
+    ]
+    svg = render_mark_svg(spans, page_width=612.0, page_height=792.0)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert '<g id="page1">' in svg and '<g id="page2">' in svg
+    # page 1 region: y_svg = 792 - (700 + 20) = 72
+    assert 'x="72" y="72" width="100" height="20"' in svg
+    # page 2 header offset by one page height: 792 + 792 - 776 = 808
+    assert 'y="808"' in svg
+    assert 'fill="#%s"' % MARK_COLORS[0] in svg
+    assert 'fill="#%s"' % MARK_COLORS[1] in svg
+    assert 'fill-opacity="0.2"' in svg
+    assert render_mark_svg([]) == '\n'.join(
+        ['<svg xmlns="http://www.w3.org/2000/svg" width="612" height="0">',
+         '</svg>'])
