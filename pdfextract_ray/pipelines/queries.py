@@ -973,6 +973,21 @@ UNION ALL
 SELECT doc_id, n_chars FROM documents WHERE n_chars > 450
 """
 
+_Q3_SQL = """
+SELECT o_orderkey,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
 _TOP_DOCS_PER_LANG_SQL = """
 WITH r AS (
   SELECT lang, doc_id, n_chars,
@@ -1069,6 +1084,7 @@ def build_queries() -> dict:
         "q1_pricing": rel.q1_pricing,
         "nation_revenue": rel.nation_revenue,
         "order_lineitem_join": rel.order_lineitem_join,
+        "q3_shipping": rel.q3_shipping,
         "top_docs": rel.top_docs,
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
@@ -1100,6 +1116,7 @@ def build_oracles() -> dict:
         "q1_pricing": _Q1_SQL,
         "nation_revenue": _NATION_REVENUE_SQL,
         "order_lineitem_join": _ORDER_LINEITEM_JOIN_SQL,
+        "q3_shipping": _Q3_SQL,
         "top_docs": _TOP_DOCS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,

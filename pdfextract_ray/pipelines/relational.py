@@ -592,3 +592,69 @@ def supplier_balance_by_region(sf_dir: str) -> "ray.data.Dataset":
                          "n_suppliers": t["n_suppliers"]})
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def q3_shipping(sf_dir: str, segment: str = "BUILDING",
+                cutoff: str = "1998-03-15", k: int = 10) -> "ray.data.Dataset":
+    """TPC-H Q3 shape: top-k unshipped-order revenue for one market
+    segment. customer is filtered AT THE READ (pushdown) and broadcast
+    as a key set; lineitem revenue pre-aggregates per order before the
+    one hash join with the filtered orders; final top-k is partial
+    select_k per block then a tiny sort+limit."""
+    import datetime
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey"],
+                         filters=[("c_mktsegment", "=", segment)])
+    cust_ref = ray.put(set(cust["c_custkey"].to_pylist()))
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def keep_orders(t: pa.Table, _ref=cust_ref) -> pa.Table:
+        keys = ray.get(_ref)
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+        mask = pa.array([c in keys for c in t["o_custkey"].to_pylist()],
+                        pa.bool_())
+        return t.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    cand_orders = orders.map_batches(keep_orders, batch_format="pyarrow")
+
+    items = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rev": to_ticks(rev)})
+        return g.group_by("l_orderkey").aggregate([("rev", "sum")]) \
+                .rename_columns(["l_orderkey", "rev"])
+
+    per_order = items.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+
+    joined = cand_orders.join(per_order, join_type="inner", num_partitions=8,
+                              on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "revenue": from_ticks(t["rev"]),
+            "o_orderdate": t["o_orderdate"],
+        })
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k, [("revenue", "descending"), ("o_orderkey", "ascending")])
+        return t.take(idx)
+
+    return out.map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
