@@ -988,6 +988,15 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """
 
+_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
 _TOP_DOCS_PER_LANG_SQL = """
 WITH r AS (
   SELECT lang, doc_id, n_chars,
@@ -1093,6 +1102,7 @@ def build_queries() -> dict:
         "events_range_join": rel.events_range_join,
         "top_docs_per_lang": rel.top_docs_per_lang,
         "supplier_balance_by_region": rel.supplier_balance_by_region,
+        "value_percentiles": rel.value_percentiles,
         "part_brand_stats": rel.part_brand_stats,
         "distinct_event_types": rel.distinct_event_types,
         "doc_length_histogram": rel.doc_length_histogram,
@@ -1125,6 +1135,7 @@ def build_oracles() -> dict:
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
         "supplier_balance_by_region": _SUPPLIER_BALANCE_SQL,
+        "value_percentiles": _VALUE_PERCENTILES_SQL,
         "doc_rolling_fp": _ROLLING_FP_SQL,
         "part_brand_stats": _PART_BRAND_SQL,
         "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,

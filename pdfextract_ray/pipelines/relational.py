@@ -658,3 +658,35 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
 
     return out.map_batches(partial_topk, batch_format="pyarrow") \
         .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def value_percentiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type discrete percentiles (p50/p90/p99) of value:
+    the quantile-aggregate shape. One shuffle keyed by event_type;
+    exact discrete quantiles per group (lower interpolation — index
+    ceil(q*n)-1 of the sorted values — matching DuckDB
+    quantile_disc exactly, no float interpolation to drift)."""
+    import math
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
+                               columns=["event_type", "value"])
+
+    def pcts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "p50": pd.Series(dtype="float64"),
+                                 "p90": pd.Series(dtype="float64"),
+                                 "p99": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        vals = g["value"].sort_values().to_numpy()
+        n = len(vals)
+
+        def disc(q: float) -> float:
+            return float(vals[max(0, math.ceil(q * n) - 1)])
+
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [disc(0.5)], "p90": [disc(0.9)],
+                             "p99": [disc(0.99)], "n": [n]})
+
+    return ds.groupby("event_type").map_groups(pcts, batch_format="pandas")

@@ -10,9 +10,9 @@ Codec tiers, probed per payload by magic bytes:
 1. **PIL**, when importable (not in this container) — arbitrary image
    formats; the swap point is :meth:`DecodeMedia._decode_pil`.
 2. **Pure-Python real codecs** (always available): uncompressed 24-bit
-   BMP (:func:`decode_bmp`/:func:`encode_bmp`) and 16-bit PCM WAV
-   (:func:`decode_wav`/:func:`encode_wav`) — at least one real format
-   decodes, resizes, and frame-samples without any external library.
+   BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA, all five scanline
+   filters — zlib is stdlib), and 16-bit PCM WAV — real formats decode,
+   resize, and frame-sample without any external library.
 3. **Deterministic ``PX`` stub** — exercises the pipeline plumbing for
    formats outside 1–2 (clearly marked; header parse + hash features).
 """
@@ -152,8 +152,8 @@ def audio_features(samples: np.ndarray) -> np.ndarray:
 
 def synth_real_media_batch(batch: pa.Table) -> pa.Table:
     """REAL media payloads derived from documents rows: even doc_ids
-    get a deterministic gradient/hash-pattern BMP, odd doc_ids a
-    two-tone sine WAV."""
+    get a deterministic gradient/hash-pattern image (PNG every third
+    even id, BMP otherwise), odd doc_ids a two-tone sine WAV."""
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     kinds, payloads = [], []
@@ -170,7 +170,8 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
                 ((yy * 255) // max(1, h - 1)).astype(np.uint8),
                 ((xx ^ yy) + int(seed % 251)).astype(np.uint8),
             ], axis=-1)
-            payloads.append(encode_bmp(px))
+            payloads.append(encode_png(px) if doc_id % 6 == 0
+                            else encode_bmp(px))
             kinds.append("image")
         else:
             n = 800 + (doc_id % 800)
@@ -209,6 +210,9 @@ class DecodeMedia:
     def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         if payload[:2] == b"BM":
             w, h, px = decode_bmp(payload)
+            return w, h, image_features(px)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, px = decode_png(payload)
             return w, h, image_features(px)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             _rate, samples = decode_wav(payload)
@@ -263,6 +267,21 @@ class ResizeImages:
         out_payloads, out_w, out_h = [], [], []
         for kind, payload in zip(batch["kind"].to_pylist(),
                                  batch["payload"].to_pylist()):
+            if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+                try:
+                    w, h, px = decode_png(payload)
+                    scale = min(1.0, self.max_dim / max(w, h, 1))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+                    yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+                    out_payloads.append(encode_png(px[yi][:, xi]))
+                    out_w.append(nw)
+                    out_h.append(nh)
+                except ValueError:
+                    out_payloads.append(payload)
+                    out_w.append(0)
+                    out_h.append(0)
+                continue
             if kind == "image" and payload[:2] == b"BM":
                 # REAL resize: decode → nearest-neighbor subsample → re-encode
                 try:
@@ -348,3 +367,93 @@ class SampleFrames:
             "frame_index": pa.array(fidx, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
         })
+
+
+# --------------------------------------------------- pure-Python PNG codec
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a non-interlaced 8-bit PNG
+    (filter 0 scanlines, one zlib IDAT)."""
+    import zlib as _z
+    h, w, _ = pixels.shape
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA; all five
+    scanline filters) → (w, h, (h, w, 3) RGB)."""
+    import zlib as _z
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise ValueError("unsupported PNG variant")
+            nch = {0: 1, 2: 3, 6: 4}[color]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = _z.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:    # Up
+            cur = (line + prev) & 0xFF
+        else:               # Sub / Average / Paeth need left-pixel recursion
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                        (b if pb_ <= pc_ else c)
+                else:
+                    raise ValueError("bad PNG filter %d" % ftype)
+                cur[i] = (line[i] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif nch == 4:
+        px = px[:, :, :3]
+    return w, h, np.ascontiguousarray(px)

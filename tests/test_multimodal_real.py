@@ -91,3 +91,73 @@ def test_garbage_payload_isolated():
                                           pa.binary())})
     out = M.DecodeMedia()(media).to_pandas()
     assert list(out["decoded"]) == [False, False]
+
+
+def test_png_roundtrip_and_decode_route():
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(9, 14, 3), dtype=np.uint8)
+    blob = M.encode_png(px)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, out = M.decode_png(blob)
+    assert (w, h) == (14, 9)
+    assert np.array_equal(out, px)
+    media = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "kind": ["image"],
+                      "payload": pa.array([blob], pa.binary())})
+    dec = M.DecodeMedia()(media).to_pandas().iloc[0]
+    assert dec["decoded"] and (dec["width"], dec["height"]) == (14, 9)
+
+
+def test_png_all_filters_and_colortypes():
+    """Hand-built scanlines exercise filters Sub/Up/Average/Paeth and
+    gray + RGBA color types."""
+    import struct as st
+    import zlib as z
+
+    def png(color, nch, raw, w, h):
+        ihdr = st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", z.compress(raw))
+                + M._png_chunk(b"IEND", b""))
+
+    # 2x2 RGB with each row a different filter
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    # filter 1 (Sub): raw deltas; reconstructed: px= prev_pixel + delta
+    raw = (b"\x01" + bytes([10, 20, 30, 5, 5, 5])
+           + b"\x02" + bytes([1, 1, 1, 2, 2, 2]))     # filter 2 (Up)
+    w, h, px = M.decode_png(png(2, 3, raw, 2, 2))
+    assert np.array_equal(px[0, 0], [10, 20, 30])
+    assert np.array_equal(px[0, 1], [15, 25, 35])      # Sub
+    assert np.array_equal(px[1, 0], [11, 21, 31])      # Up
+    assert np.array_equal(px[1, 1], [17, 27, 37])
+
+    # filter 3 (Average) + 4 (Paeth) on a 2x2 gray image
+    raw = (b"\x03" + bytes([100, 10]) + b"\x04" + bytes([1, 2]))
+    w, h, px = M.decode_png(png(0, 1, raw, 2, 2))
+    # row0: avg: p0=100+(0+0)//2=100; p1=10+(100+0)//2=60
+    assert px[0, 0, 0] == 100 and px[0, 1, 0] == 60
+    # row1 paeth: p0: a=0,b=100,c=0 -> pred=100 -> 101
+    #             p1: a=101,b=60,c=100 -> p=61; closest is b(1)<a(40)? pa=40,pb=1,pc=39 -> b=60 -> 62
+    assert px[1, 0, 0] == 101 and px[1, 1, 0] == 62
+    # gray expanded to 3 channels
+    assert px.shape == (2, 2, 3)
+
+    # RGBA: alpha dropped
+    raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 128])
+    w, h, px = M.decode_png(png(6, 4, raw, 2, 1))
+    assert np.array_equal(px[0, 0], [1, 2, 3])
+    assert np.array_equal(px[0, 1], [4, 5, 6])
+
+
+def test_png_resize():
+    yy, xx = np.mgrid[0:20, 0:40]
+    px = np.stack([xx % 256, yy % 256, (xx * yy) % 256],
+                  axis=-1).astype(np.uint8)
+    media = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "kind": ["image"],
+                      "payload": pa.array([M.encode_png(px)], pa.binary())})
+    out = M.ResizeImages(max_dim=20)(media).to_pandas().iloc[0]
+    assert (out["width"], out["height"]) == (20, 10)
+    w2, h2, small = M.decode_png(out["payload"])
+    assert np.array_equal(small[0, 0], px[0, 0])
+    assert np.array_equal(small[1, 1], px[2, 2])
