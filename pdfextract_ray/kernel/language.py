@@ -59,9 +59,14 @@ def transliterate(s: str) -> str:
     return _WS_RE.sub(" ", "".join(out))
 
 
+# deleting the member chars and differencing lengths counts them at
+# C speed; exactly equivalent to the per-char set-membership scan
+_LETTER_DEL = {ord(c): None for c in _LETTER_SET}
+
+
 def letter_ratio(s: str) -> float:
     # language.rb:40-42
-    n = sum(1 for c in s if c in _LETTER_SET)
+    n = len(s) - len(s.translate(_LETTER_DEL))
     return _ruby_div(n, float(len(s)))
 
 

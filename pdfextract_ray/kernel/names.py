@@ -70,16 +70,25 @@ class NamesDatabase:
         words = content.split()
         gazetteer = gazetteer or {}
         total = 0.0
+        # per-call memo: the weight is a pure function of the word, and
+        # prose repeats words heavily — skips the capitalize+lookup
+        memo: dict[str, float] = {}
         for word in words:
-            # names.rb:29-35: downcase → capitalize → upcase-after-hyphen.
-            # Python str.capitalize() == Ruby downcase+capitalize; the hyphen
-            # pass only matters when a hyphen is present.
-            q = word.capitalize()
-            if "-" in q:
-                q = _HYPHEN_CAP_RE.sub(lambda m: "-" + m.group(1).upper(), q)
-            amb = gazetteer.get(q)
-            if amb is not None:
-                total += AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT
+            w = memo.get(word)
+            if w is None:
+                # names.rb:29-35: downcase → capitalize → upcase-after-
+                # hyphen. Python str.capitalize() == Ruby
+                # downcase+capitalize; the hyphen pass only matters when
+                # a hyphen is present.
+                q = word.capitalize()
+                if "-" in q:
+                    q = _HYPHEN_CAP_RE.sub(
+                        lambda m: "-" + m.group(1).upper(), q)
+                amb = gazetteer.get(q)
+                w = 0.0 if amb is None else \
+                    (AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT)
+                memo[word] = w
+            total += w
         if total == 0:
             return 0.0
         return total / float(len(words))
