@@ -67,7 +67,16 @@ def minhash_signature(text: str) -> np.ndarray:
 def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
                         text_col: str = "text",
                         shard_mask: int = 0xFF) -> pa.Table:
-    """Emit one row per (doc, band): the LSH explode stage."""
+    """Emit one row per (doc, band): the LSH explode stage.
+
+    Deliberately per-doc numpy, NOT one batch-wide matrix: signature
+    math is a rounding error next to shingling, and this sandbox's VM
+    makes FRESH large allocations pathologically slow (~400us/page
+    first-touch fault; measured: a 50 MB fresh-alloc numpy add costs
+    ~5 s while the same add into prefaulted memory costs 16 ms), so a
+    batch-wide (64 x total_shingles) work matrix loses badly unless it
+    reuses a preallocated buffer. Per-doc arrays recycle glibc arenas
+    and never fault."""
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     band_ids: list[int] = []
@@ -78,8 +87,8 @@ def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
         sig = minhash_signature(text or "")
         sig_bytes = sig.astype("<u8").tobytes()
         for b in range(NUM_BANDS):
-            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-            bh = zlib.crc32(chunk.astype("<u8").tobytes())
+            bh = zlib.crc32(sig_bytes[b * ROWS_PER_BAND * 8:
+                                      (b + 1) * ROWS_PER_BAND * 8])
             band_ids.append(b)
             band_hashes.append(bh)
             out_ids.append(doc_id)
