@@ -161,3 +161,36 @@ def test_png_resize():
     w2, h2, small = M.decode_png(out["payload"])
     assert np.array_equal(small[0, 0], px[0, 0])
     assert np.array_equal(small[1, 1], px[2, 2])
+
+
+def test_png_bmp_property_roundtrip():
+    """Property: encode→decode is identity for arbitrary RGB images."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 40),
+           seed=st.integers(0, 2**31 - 1))
+    def check(w, h, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        for enc, dec in ((M.encode_png, M.decode_png),
+                         (M.encode_bmp, M.decode_bmp)):
+            w2, h2, out = dec(enc(px))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(out, px)
+
+    check()
+
+
+def test_wav_property_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 5000), seed=st.integers(0, 2**31 - 1))
+    def check(n, seed):
+        sig = np.random.RandomState(seed).randint(
+            -32768, 32768, size=n).astype(np.int16)
+        rate, out = M.decode_wav(M.encode_wav(sig))
+        assert np.array_equal(out, sig)
+
+    check()

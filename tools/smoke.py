@@ -28,6 +28,11 @@ def main() -> int:
     fast = "--fast" in sys.argv
     ok = True
     ok &= run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+    ok &= run("entry() smoke", [sys.executable, "-c", (
+        "import ray; ray.init(address='local', num_cpus=8, "
+        "include_dashboard=False, logging_level='ERROR'); "
+        "import __ray_entry__ as e; n = e.entry().count(); "
+        "assert n > 0, n; print('entry rows:', n); ray.shutdown()")])
     ok &= run("oracle sweep sf0.01",
               [sys.executable, "tools/check_oracles.py", "/root/testdata/sf0.01"])
     if not fast:
