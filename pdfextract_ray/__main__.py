@@ -62,6 +62,12 @@ def main(argv=None) -> int:
         sp.add_argument("--no-resume", action="store_true")
         sp.add_argument("--exploded", action="store_true",
                         help="page-exploded variant for mega-documents")
+        sp.add_argument("--adaptive", action="store_true",
+                        help="size-routed hybrid: small docs fused, "
+                             "oversized docs page-exploded")
+        sp.add_argument("--adaptive-threshold", type=int, default=64 * 1024,
+                        help="html byte size above which a doc routes to "
+                             "the exploded path (default 64KiB)")
 
     sp_e = sub.add_parser("extract", help="extraction → parquet (+ optional xml)")
     common(sp_e)
@@ -109,7 +115,7 @@ def main(argv=None) -> int:
     settings = _load_settings(args)
     try:
         if args.cmd == "extract" and not args.html_dir and not args.exploded \
-                and not args.xml:
+                and not args.adaptive and not args.xml:
             # full resumable job with manifests + metrics
             from pdfextract_ray.pipelines.extract_pipeline import run_extract
             stats = run_extract(args.corpus, args.out, settings=settings,
@@ -123,7 +129,11 @@ def main(argv=None) -> int:
         ctx = {"settings": settings}
         ds = _corpus_ds(args)
         if args.cmd == "extract":
-            if args.exploded:
+            if args.adaptive:
+                from pdfextract_ray.pipelines.exploded import extract_adaptive
+                out = extract_adaptive(ds, settings=settings,
+                                       threshold_bytes=args.adaptive_threshold)
+            elif args.exploded:
                 from pdfextract_ray.pipelines.exploded import extract_exploded
                 out = extract_exploded(ds, settings=settings)
             else:

@@ -68,3 +68,15 @@ def test_cli_html_dir(ray_session, tiny_corpus, tmp_path, capsys):
     t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
     assert t.num_rows == 3
     assert all(u.startswith("file://") for u in t.column("url").to_pylist())
+
+
+def test_cli_adaptive_variant(cli_corpus, tmp_path):
+    from pdfextract_ray.__main__ import main
+    out = str(tmp_path / "adaptive_out")
+    rc = main(["extract", cli_corpus, "--out", out,
+               "--adaptive", "--adaptive-threshold", "7000"])
+    assert rc == 0
+    import glob
+    t = pq.read_table(glob.glob(out + "/*.parquet"))
+    assert t.num_rows == 8
+    assert "text" in t.schema.names
