@@ -1026,6 +1026,15 @@ SELECT event_id, user_id, ts,
 FROM events
 """
 
+_EVENTS_LEAD_LAG_SQL = """
+SELECT event_id, user_id,
+  lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+  CAST(date_diff('microsecond', ts,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+       AS DOUBLE) / 1000000.0 AS next_gap_sec
+FROM events
+"""
+
 _EVENTS_ASOF_SQL = """
 WITH v AS (
   SELECT user_id, ts AS view_ts, max(event_id) AS view_id
@@ -1099,6 +1108,7 @@ def build_queries() -> dict:
         "events_sessionize": rel.events_sessionize,
         "events_rolling": rel.events_rolling,
         "events_asof_join": rel.events_asof_join,
+        "events_lead_lag": rel.events_lead_lag,
         "events_range_join": rel.events_range_join,
         "top_docs_per_lang": rel.top_docs_per_lang,
         "supplier_balance_by_region": rel.supplier_balance_by_region,
@@ -1132,6 +1142,7 @@ def build_oracles() -> dict:
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_rolling": _EVENTS_ROLLING_SQL,
         "events_asof_join": _EVENTS_ASOF_SQL,
+        "events_lead_lag": _EVENTS_LEAD_LAG_SQL,
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
         "supplier_balance_by_region": _SUPPLIER_BALANCE_SQL,

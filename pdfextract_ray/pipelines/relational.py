@@ -690,3 +690,29 @@ def value_percentiles(sf_dir: str) -> "ray.data.Dataset":
                              "p99": [disc(0.99)], "n": [n]})
 
     return ds.groupby("event_type").map_groups(pcts, batch_format="pandas")
+
+
+def events_lead_lag(sf_dir: str) -> "ray.data.Dataset":
+    """Lead/lag window projection per user: each event with the
+    previous event's value and the gap to the next event in seconds.
+    One shuffle keyed by user_id; vectorized pandas shift per group."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
+                               columns=["event_id", "user_id", "ts", "value"])
+
+    def proj(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "prev_value": pd.Series(dtype="float64"),
+                                 "next_gap_sec": pd.Series(dtype="float64")})
+        g = g.sort_values(["ts", "event_id"])
+        prev_value = g["value"].shift(1)
+        next_gap = (g["ts"].shift(-1) - g["ts"]).dt.total_seconds()
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "prev_value": prev_value,
+                             "next_gap_sec": next_gap})
+
+    return ds.groupby("user_id").map_groups(proj, batch_format="pandas")
