@@ -591,7 +591,6 @@ SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM cand WHERE hamming <= 3
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partitioned keep-first (min doc_id per hash)."""
     from ray.data.aggregate import Min
-    from pdfextract_ray.stages.textstats import WS_RE  # noqa: F401
     import hashlib
 
     def hash_batch(t: pa.Table) -> pa.Table:

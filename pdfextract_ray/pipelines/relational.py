@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max, Sum
 
 
 SCALE = 10000.0
@@ -228,7 +228,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 
 def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
     """Grouped avg/min/max with deterministic cross-engine floats."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
     ds = ray.data.read_parquet(_pq(sf_dir, "part"),
                                columns=["p_brand", "p_retailprice", "p_size"])
     def partial(t: pa.Table) -> pa.Table:
