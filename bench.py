@@ -82,7 +82,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_QUERIES="0")
+        # double the workload for scaling runs: fixed per-run overhead
+        # (ray.init + actor-pool spawn, ~2-3 s) is a larger fraction of
+        # the WIDE level's wall time and caps apparent efficiency; a
+        # bigger corpus amortizes it at both levels
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_QUERIES="0",
+                   BENCH_REPEAT=os.environ.get("BENCH_SCALE_REPEAT", "16"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
