@@ -783,12 +783,35 @@ def q_knn_ivf(sf_dir: str):
                               fn_kwargs=dict(centroids_ref=centroids_ref))
     partials = assigned.map_batches(
         IvfTopKPartial, batch_format="pyarrow",
+        # nprobe=6 of 16 cells: uniform-random embeddings are the
+        # adversarial case for IVF (no cluster structure), measured
+        # recall@5 0.58 at nprobe=4 -> ~0.7+ at 6 for 3/8 of the scan
         fn_constructor_kwargs=dict(queries_ref=queries_ref,
-                                   centroids_ref=centroids_ref, k=5, nprobe=4),
+                                   centroids_ref=centroids_ref, k=5, nprobe=6),
         concurrency=(1, 4))
     # coalesce tiny partials before the merge groupby (see q_knn_cosine)
     return partials.repartition(2).groupby("query_id") \
         .map_groups(topk_merge_group, batch_format="pandas")
+
+
+def q_knn_ivf_recall(sf_dir: str):
+    """Self-evaluating ANN quality: recall@5 of the IVF approximate
+    top-k against the exact brute-force top-k, per query vector plus a
+    macro average row (query_id = -1). Both sides are tiny per-query
+    top-k results, so the comparison is a driver-side set intersection
+    over 50 rows — the expensive work stays distributed."""
+    exact = q_knn_cosine(sf_dir).to_pandas()
+    approx = q_knn_ivf(sf_dir).to_pandas()
+    ex = exact.groupby("query_id")["vec_id"].apply(set)
+    ap = approx.groupby("query_id")["vec_id"].apply(set)
+    qids = sorted(ex.index)
+    recalls = [len(ex[q] & ap.get(q, set())) / max(1, len(ex[q]))
+               for q in qids]
+    return pa.table({
+        "query_id": pa.array(qids + [-1], pa.int64()),
+        "recall_at_5": pa.array(recalls + [sum(recalls) / len(recalls)],
+                                pa.float64()),
+    })
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -1092,6 +1115,7 @@ def build_queries() -> dict:
         # similarity
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dup": q_embedding_near_dup,
         # multimodal plumbing
         "multimodal_decode": q_multimodal_decode,
