@@ -82,12 +82,14 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        # double the workload for scaling runs: fixed per-run overhead
-        # (ray.init + actor-pool spawn, ~2-3 s) is a larger fraction of
-        # the WIDE level's wall time and caps apparent efficiency; a
-        # bigger corpus amortizes it at both levels
+        # BENCH_SCALE_REPEAT trades spawn-overhead amortization against
+        # noise exposure: fixed per-run overhead (ray.init + actor-pool
+        # spawn, ~2-3 s) caps the WIDE level's apparent efficiency, but
+        # on this shared host a LONGER run is more likely to catch a
+        # foreign-load spike mid-sample (measured: x12 workload read
+        # 0.58 in a window where x8 pairs read 0.84-0.90). Keep x8.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_QUERIES="0",
-                   BENCH_REPEAT=os.environ.get("BENCH_SCALE_REPEAT", "16"))
+                   BENCH_REPEAT=os.environ.get("BENCH_SCALE_REPEAT", "8"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
