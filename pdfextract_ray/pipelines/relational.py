@@ -103,31 +103,55 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
 
 
 def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
-    """orders ⋈ customer ⋈ nation via broadcast dicts → revenue by nation."""
+    """orders ⋈ customer ⋈ nation → revenue by nation.
+
+    customer is NOT a dimension (it scales with SF — tens of millions
+    of rows at 100×), so it is hash-joined, never broadcast: orders
+    pre-aggregate per custkey inside map_batches, the per-customer
+    partials join customer on the hash-partitioned ``Dataset.join``,
+    and only the 25-row nation table is broadcast for the final
+    nationkey → name projection."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    cust_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
     nat_map = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    lookup_ref = ray.put((cust_map, nat_map))  # broadcast ONCE
+    nat_ref = ray.put(nat_map)  # true dimension (fixed 25 rows): broadcast ONCE
 
     ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
                                columns=["o_custkey", "o_totalprice"])
 
-    def partial(t: pa.Table, _ref=lookup_ref) -> pa.Table:
-        cmap, nmap = ray.get(_ref)
-        names = [nmap[cmap[ck]] for ck in t["o_custkey"].to_pylist()]
+    def partial(t: pa.Table) -> pa.Table:
         g = pa.table({
-            "n_name": pa.array(names, pa.string()),
+            "o_custkey": t["o_custkey"],
             "revenue": to_ticks(t["o_totalprice"]),
             "n": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        return (g.group_by("o_custkey")
+                 .aggregate([("revenue", "sum"), ("n", "sum")])
+                 .rename_columns(["o_custkey", "revenue", "n"]))
+
+    per_cust = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
+
+    customer = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    joined = per_cust.join(customer, join_type="inner", num_partitions=8,
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    def to_nation(t: pa.Table, _ref=nat_ref) -> pa.Table:
+        nmap = ray.get(_ref)
+        names = [nmap[nk] for nk in t["c_nationkey"].to_pylist()]
+        g = pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "revenue": t["revenue"],
+            "n": t["n"],
         })
         return (g.group_by("n_name")
                  .aggregate([("revenue", "sum"), ("n", "sum")])
                  .rename_columns(["n_name", "revenue", "n"]))
 
-    rolled = ds.map_batches(partial, batch_format="pyarrow") \
+    rolled = joined.map_batches(to_nation, batch_format="pyarrow") \
                .repartition(2) \
                .groupby("n_name").aggregate(
                    Sum("revenue", alias_name="revenue"),
@@ -502,6 +526,12 @@ def events_range_join(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # keep only rows inside the tier table's covered range, matching
+        # the oracle's inner-join semantics (value >= lo AND value < hi):
+        # out-of-range values must drop, not fall into the edge tiers
+        lo, hi = VALUE_TIERS[0][1], VALUE_TIERS[-1][2]
+        t = t.filter(pc.and_(pc.greater_equal(t["value"], pa.scalar(lo)),
+                             pc.less(t["value"], pa.scalar(hi))))
         vals = t["value"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(edges, vals, side="right")
         g = pa.table({
@@ -609,7 +639,9 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
 
     cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey"],
                          filters=[("c_mktsegment", "=", segment)])
-    cust_ref = ray.put(set(cust["c_custkey"].to_pylist()))
+    # broadcast the key column as an Arrow array (one segment's keys —
+    # bounded; pc.is_in against it is vectorized, no per-row Python)
+    cust_ref = ray.put(cust["c_custkey"].combine_chunks())
 
     orders = ray.data.read_parquet(
         _pq(sf_dir, "orders"),
@@ -618,8 +650,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
     def keep_orders(t: pa.Table, _ref=cust_ref) -> pa.Table:
         keys = ray.get(_ref)
         t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
-        mask = pa.array([c in keys for c in t["o_custkey"].to_pylist()],
-                        pa.bool_())
+        mask = pc.is_in(t["o_custkey"], value_set=keys)
         return t.filter(mask).select(["o_orderkey", "o_orderdate"])
 
     cand_orders = orders.map_batches(keep_orders, batch_format="pyarrow")

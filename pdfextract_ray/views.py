@@ -154,7 +154,9 @@ def _write_obj(out: list[str], obj: dict, name: str, indent: int,
         if (k in NUMERIC_ATTRIBUTES or _SCORE_RE.match(k)) and v is not None:
             attrs.append((k, _fmt(float(v), precision)))
         else:
-            attrs.append((k, str(v)))
+            # bools route through _fmt so a boolean attribute renders
+            # 'true'/'false' like everywhere else, not 'True'/'False'
+            attrs.append((k, _fmt(v) if isinstance(v, bool) else str(v)))
     attr_s = "".join(" %s=%s" % (k, quoteattr(v)) for k, v in attrs)
 
     text = None
