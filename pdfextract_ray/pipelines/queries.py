@@ -266,18 +266,27 @@ def q_curate_corpus_neardup(sf_dir: str):
 
 def curate_neardup(ds):
     """Quality filter → exact dedup → near-dup clustering → reps, over
-    any Dataset with (url, title, text, lang, n_refs, n_tokens). All
-    shuffles move hashes/ids/metadata, never raw text, except the LSH
-    band stage whose rows carry only 64x8-byte signatures. The final
-    drop-set (near-dup non-representatives) is the tiny clustered
-    residue — broadcast once."""
+    any Dataset with (url, title, text, lang, n_refs, n_tokens).
+
+    No shuffle in this composition ever moves raw text, and no
+    corpus-derived collection ever lands on the driver:
+
+    - the one full-text pass (``hash_id_project``) computes BOTH the
+      exact-dedup md5 and the 512-byte MinHash signature, then DROPS
+      text — the exact-dedup groupby moves (hash, sig, metadata) only;
+    - LSH banding runs from the carried signature
+      (``bands_from_sig_batch``), no re-read of winners;
+    - near-dup non-representatives (at web scale commonly 20-50% of the
+      corpus — never driver-sized) are removed with a distributed
+      hash-partitioned ``left_anti`` join on doc_id, not a broadcast
+      drop-set."""
     import hashlib
     import zlib
     import pandas as pd
     import pyarrow.compute as pc
-    import ray
-    from pdfextract_ray.stages.dedup import (label_propagation_components,
-                                             minhash_bands_batch,
+    from pdfextract_ray.stages.dedup import (bands_from_sig_batch,
+                                             label_propagation_components,
+                                             minhash_signature,
                                              shard_pairs_group)
 
     def keep_quality(t: pa.Table) -> pa.Table:
@@ -288,19 +297,23 @@ def curate_neardup(ds):
         return t.filter(pc.fill_null(ok, False))
 
     def hash_id_project(t: pa.Table) -> pa.Table:
-        """text hash for exact dedup + stable 63-bit doc id from url."""
-        hashes, ids = [], []
+        """ONE pass over the text: exact-dedup md5, stable 63-bit doc
+        id from url, and the MinHash signature — then text is dropped
+        so no later shuffle carries it."""
+        hashes, ids, sigs = [], [], []
         for url, text in zip(t["url"].to_pylist(), t["text"].to_pylist()):
-            hashes.append(hashlib.md5((text or "").encode()).hexdigest())
+            text = text or ""
+            hashes.append(hashlib.md5(text.encode()).hexdigest())
             ids.append(int.from_bytes(
                 hashlib.md5(url.encode()).digest()[:8], "big") >> 1)
+            sigs.append(minhash_signature(text).astype("<u8").tobytes())
         shards = [zlib.crc32(h.encode()) & 0xFF for h in hashes]
         return pa.table({
             "shard": pa.array(shards, pa.int32()),
             "text_hash": pa.array(hashes, pa.string()),
             "doc_id": pa.array(ids, pa.int64()),
+            "sig": pa.array(sigs, pa.binary()),
             "url": t["url"], "lang": t["lang"], "title": t["title"],
-            "text": t["text"],
             "n_refs": t["n_refs"], "n_tokens": t["n_tokens"],
         })
 
@@ -311,8 +324,8 @@ def curate_neardup(ds):
         if not len(df):
             return pd.DataFrame({c: pd.Series(dtype=dt) for c, dt in [
                 ("shard", "int32"), ("text_hash", "object"),
-                ("doc_id", "int64"), ("url", "object"), ("lang", "object"),
-                ("title", "object"), ("text", "object"),
+                ("doc_id", "int64"), ("sig", "object"), ("url", "object"),
+                ("lang", "object"), ("title", "object"),
                 ("n_refs", "int64"), ("n_tokens", "int64")]})
         return df.sort_values(["text_hash", "url"]) \
                  .drop_duplicates("text_hash", keep="first")
@@ -320,32 +333,31 @@ def curate_neardup(ds):
     exact = filtered.groupby("shard") \
         .map_groups(keep_min_url, batch_format="pandas").materialize()
 
-    bands = exact.select_columns(["doc_id", "text"]) \
-        .map_batches(minhash_bands_batch, batch_format="pyarrow")
+    bands = exact.select_columns(["doc_id", "sig"]) \
+        .map_batches(bands_from_sig_batch, batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(shard_pairs_group, batch_format="pandas").materialize()
 
+    out_cols = ["url", "lang", "title", "n_refs", "n_tokens"]
     if pairs.count() == 0:
-        return exact.select_columns(["url", "lang", "title",
-                                     "n_refs", "n_tokens"])
+        return exact.select_columns(out_cols)
     labels = label_propagation_components(pairs)
     dropped = labels.map_batches(
-        lambda t: pa.table({"doc_id": pc.cast(
+        lambda t: pa.table({"drop_id": pc.cast(
             t["node"].combine_chunks() if hasattr(t["node"], "combine_chunks")
             else t["node"], pa.int64())}).filter(
             pc.not_equal(t["node"], t["label"])),
-        batch_format="pyarrow")
-    drop_ids = set(dropped.unique("doc_id"))  # tiny near-dup residue
-    drop_ref = ray.put(drop_ids)
-
-    def keep_reps(t: pa.Table, _ref=drop_ref) -> pa.Table:
-        dropped_ = ray.get(_ref)
-        mask = pa.array([i not in dropped_ for i in t["doc_id"].to_pylist()],
-                        pa.bool_())
-        return t.filter(mask)
-
-    return exact.map_batches(keep_reps, batch_format="pyarrow") \
-        .select_columns(["url", "lang", "title", "n_refs", "n_tokens"])
+        batch_format="pyarrow").repartition(2).materialize()
+    # repartition(2) coalesces the label stream's many tiny blocks:
+    # Ray 2.49's hash join rejects schema-less EMPTY blocks on the
+    # right side ("No match for key field reference")
+    if dropped.count() == 0:
+        return exact.select_columns(out_cols)
+    # distributed anti-join: winners minus near-dup non-representatives,
+    # hash-partitioned on doc_id — nothing lands on the driver
+    reps = exact.join(dropped, join_type="left_anti", num_partitions=8,
+                      on=("doc_id",), right_on=("drop_id",))
+    return reps.select_columns(out_cols)
 
 
 # ----------------------------------------------------------- text analysis
@@ -661,12 +673,13 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
-    """MinHash-LSH candidates verified with EXACT n-gram Jaccard: the
-    candidate texts (a tiny residue of the corpus) are broadcast once
-    via ray.put and each pair re-checked against the true shingle sets
-    — the estimate→verify pattern for production dedup."""
-    import ray
-    import ray.data
+    """MinHash-LSH candidates verified with EXACT n-gram Jaccard — the
+    estimate→verify pattern for production dedup, fully distributed:
+    the candidate pairs are hash-joined against the documents table
+    twice (on ``a``, then on ``b``) and the exact Jaccard is computed
+    inside the joined batches. No candidate set or text dict ever
+    lands on the driver — on a boilerplate-heavy web corpus the
+    post-LSH residue is not reliably driver-sized."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
     from pdfextract_ray.stages.dedup import (minhash_bands_batch, ngram_jaccard,
@@ -681,29 +694,34 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    # distributed pair dedupe (same pair from multiple bands)
+    # distributed pair dedupe (same pair from multiple bands), coalesced
+    # (Ray 2.49's hash join rejects schema-less empty blocks)
     pairs = pairs.groupby(["a", "b"]) \
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+        .aggregate(Min("est_jaccard", alias_name="est_jaccard")) \
+        .repartition(2).materialize()
 
-    # candidate-id set: only the residue's ids reach the driver (ints),
-    # and the texts come from a PUSHDOWN-FILTERED read — never a
-    # whole-table driver read (documents won't fit the driver at 100x).
-    cand_ids = sorted(set(pairs.unique("a")) | set(pairs.unique("b")))
-    cand = ray.data.read_parquet(
-        _pq(sf_dir, "documents"), columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(cand_ids),
-    ).take_all()
-    texts_ref = ray.put({r["doc_id"]: r["text"] for r in cand})
+    def _docs(key: str, text_name: str):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda t: pa.table({key: t["doc_id"], text_name: t["text"]}),
+            batch_format="pyarrow")
 
-    def verify(t: pa.Table, _ref=texts_ref) -> pa.Table:
-        texts = ray.get(_ref)
-        jac = [round(ngram_jaccard(texts.get(a, "") or "", texts.get(b, "") or ""), 6)
-               for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
+    # two hash joins: pairs ⋈ documents on a, then on b — the big side
+    # (documents) streams through hash partitions; a semi-join-reduced
+    # read would also work but needs the candidate ids on the driver
+    with_a = pairs.join(_docs("a_key", "text_a"), join_type="inner",
+                        num_partitions=8, on=("a",), right_on=("a_key",))
+    with_ab = with_a.join(_docs("b_key", "text_b"), join_type="inner",
+                          num_partitions=8, on=("b",), right_on=("b_key",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = [round(ngram_jaccard(ta or "", tb or ""), 6)
+               for ta, tb in zip(t["text_a"].to_pylist(),
+                                 t["text_b"].to_pylist())]
         out = pa.table({"a": t["a"], "b": t["b"],
                         "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- similarity

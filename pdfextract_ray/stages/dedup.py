@@ -79,13 +79,30 @@ def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
     and never fault."""
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
+    sig_list = [minhash_signature(t or "").astype("<u8").tobytes()
+                for t in texts]
+    return _band_rows(ids, sig_list, shard_mask)
+
+
+def bands_from_sig_batch(batch: pa.Table, id_col: str = "doc_id",
+                         sig_col: str = "sig",
+                         shard_mask: int = 0xFF) -> pa.Table:
+    """LSH explode over PRE-COMPUTED signature bytes (512 B per doc).
+
+    Lets a composed pipeline compute the MinHash signature once in its
+    first full-text pass, drop the text, and band later stages from the
+    carried signature — no second shuffle or re-read of raw text
+    (curate_neardup's exact-dedup shuffle moves sig bytes, never text)."""
+    return _band_rows(batch[id_col].to_pylist(), batch[sig_col].to_pylist(),
+                      shard_mask)
+
+
+def _band_rows(ids: list, sig_list: list[bytes], shard_mask: int) -> pa.Table:
     band_ids: list[int] = []
     band_hashes: list[int] = []
     out_ids: list[int] = []
     sigs: list[bytes] = []
-    for doc_id, text in zip(ids, texts):
-        sig = minhash_signature(text or "")
-        sig_bytes = sig.astype("<u8").tobytes()
+    for doc_id, sig_bytes in zip(ids, sig_list):
         for b in range(NUM_BANDS):
             bh = zlib.crc32(sig_bytes[b * ROWS_PER_BAND * 8:
                                       (b + 1) * ROWS_PER_BAND * 8])
@@ -175,7 +192,8 @@ def connected_components(pairs: "pd.DataFrame") -> dict[int, int]:
 
 
 def label_propagation_components(pairs_ds, max_iters: int = 8,
-                                 shard_mask: int = 0xFF, hops: int = 1):
+                                 shard_mask: int = 0xFF, hops: int = 1,
+                                 num_parts: int | None = None):
     """Distributed connected components over a pair Dataset (a, b):
     iterative min-label propagation — the 10^12-doc alternative to
     driver-side union-find (ray_guide "Aggregation at scale").
@@ -188,61 +206,111 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
     vectorized pandas inside each shard: every node's current min
     label is broadcast to its neighbors via one merge, and proposals
     are folded with a groupby-min keyed by the TARGET node's shard.
-    Cluster diameters after near-dup verification are tiny, so few
-    rounds converge; ``max_iters`` bounds the worst case.
+
+    Three round-count levers (measured at sf0.1: these cut the wall
+    time of ``dedup_minhash`` from ~10 s to the bands+pairs cost plus
+    ~2 propagation rounds):
+
+    - **Batch-local star contraction** in ``explode``: each input
+      batch's pairs are collapsed with an in-memory union-find and
+      re-emitted as node↔root star edges — identical connectivity,
+      fewer edges, and the effective diameter drops to the number of
+      batches a component spans, not its raw chain length.
+    - **Free first hop** in ``init_labels``: a node's adjacency rows
+      all live in its own shard, so the initial label is
+      min(node, min neighbor) — one hop before the loop starts.
+    - **Exact convergence**: every reduce emits a per-node ``changed``
+      flag (new label strictly below the node's previous label); the
+      loop stops when ``sum(changed) == 0``. This replaces the old
+      sum-of-labels checksum, which could in principle alias across a
+      2^64 wrap at cluster scale. If ``max_iters`` is exhausted while
+      labels are still changing (diameter > max_iters·hops chains), a
+      warning is logged — callers treating label==node as "component
+      representative" would otherwise silently over-keep.
+
+    Scale knobs: ``num_parts`` (adjacency partition count) defaults to
+    cluster CPUs // 4 (min 4) and ``shard_mask`` sizes the Ray-level
+    group count (0xFF = 256 groups suits one node; raise at cluster
+    scale so each shard-group stays one-task-sized — see SCALING.md).
 
     Returns a Dataset of (node, label), label = min node id in the
     component.
     """
+    import logging
     import numpy as np
     import pandas as pd
 
+    if num_parts is None:
+        try:
+            import ray
+            cpus = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        num_parts = max(4, cpus // 4)
+
     def explode(t: pa.Table) -> pa.Table:
-        a = pc_cast(t["a"])
-        b = pc_cast(t["b"])
-        node = pa.concat_arrays([a, b])
-        dst = pa.concat_arrays([b, a])
-        shard = np.bitwise_and(node.to_numpy(zero_copy_only=False),
-                               shard_mask).astype(np.int32)
+        a = pc_cast(t["a"]).to_numpy(zero_copy_only=False)
+        b = pc_cast(t["b"]).to_numpy(zero_copy_only=False)
+        # batch-local star contraction: union-find over this batch's
+        # pairs, then emit node<->root edges only (same connectivity,
+        # fewer edges, diameter ~= #batches the component spans)
+        comp = connected_components(pd.DataFrame({"a": a, "b": b}))
+        nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+        roots = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+        m = nodes != roots
+        node = np.concatenate([nodes[m], roots[m]])
+        dst = np.concatenate([roots[m], nodes[m]])
         # -1 sentinels, NOT nulls: a nullable int64 column becomes
         # float64 in the map_groups pandas conversion, silently
         # corrupting ids above 2^53 (doc ids here are 63-bit hashes)
         return pa.table({
-            "shard": pa.array(shard, pa.int32()),
-            "node": node,
-            "dst": dst,
+            "shard": pa.array((node & shard_mask).astype(np.int32), pa.int32()),
+            "node": pa.array(node, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
             "label": pa.array(np.full(len(node), -1, dtype=np.int64)),
+            "changed": pa.array(np.zeros(len(node), dtype=np.int64)),
         })
 
     adjacency = pairs_ds.map_batches(explode, batch_format="pyarrow") \
-        .repartition(4).materialize()
+        .repartition(num_parts).materialize()
 
-    def _pack(node: np.ndarray, label: np.ndarray) -> pa.Table:
-        """Typed state rows (dst all-null) — identical schema to the
-        adjacency table so union blocks always unify."""
+    def _pack(node: np.ndarray, label: np.ndarray,
+              changed: np.ndarray | None = None) -> pa.Table:
+        """Typed state rows (dst all-sentinel) — identical schema to
+        the adjacency table so union blocks always unify."""
         node = np.asarray(node, dtype=np.int64)
+        if changed is None:
+            changed = np.zeros(len(node), dtype=np.int64)
         return pa.table({
             "shard": pa.array((node & shard_mask).astype(np.int32), pa.int32()),
             "node": pa.array(node, pa.int64()),
             "dst": pa.array(np.full(len(node), -1, dtype=np.int64)),
             "label": pa.array(np.asarray(label, dtype=np.int64), pa.int64()),
+            "changed": pa.array(np.asarray(changed, dtype=np.int64), pa.int64()),
         })
 
     _EMPTY_STATE = _pack(np.array([], dtype=np.int64),
                          np.array([], dtype=np.int64))
 
     def init_labels(df: pd.DataFrame) -> pa.Table:
+        """label = min(node, min neighbor): the free first hop — all of
+        a node's adjacency rows live in its own shard."""
         if not len(df):
             return _EMPTY_STATE
-        nodes = df["node"].unique()
-        return _pack(nodes, nodes)
+        g = df.groupby("node", as_index=False)["dst"].min()
+        lab = np.minimum(g["node"].to_numpy(dtype=np.int64),
+                         g["dst"].to_numpy(dtype=np.int64))
+        return _pack(g["node"].to_numpy(dtype=np.int64), lab)
 
     labels = adjacency.groupby("shard") \
         .map_groups(init_labels, batch_format="pandas")
 
     def propose_shard(df: pd.DataFrame) -> pa.Table:
         """One shard of labels ∪ adjacency → label proposals keyed by
-        the target node's shard (all vectorized)."""
+        the target node's shard (all vectorized). The node's own
+        current label is re-emitted with changed=1 as a marker so the
+        reduce can compute an exact changed flag."""
         if not len(df):
             return _EMPTY_STATE
         lab = df[df["label"] >= 0][["node", "label"]]
@@ -250,16 +318,25 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
         adj = df[df["label"] < 0][["node", "dst"]]
         to_nbr = adj.merge(cur, on="node")[["dst", "label"]] \
             .rename(columns={"dst": "node"})
+        n_cur, n_nbr = len(cur), len(to_nbr)
         out = pd.concat([cur, to_nbr], ignore_index=True)
+        marker = np.concatenate([np.ones(n_cur, dtype=np.int64),
+                                 np.zeros(n_nbr, dtype=np.int64)])
         return _pack(out["node"].to_numpy(dtype=np.int64),
-                     out["label"].to_numpy(dtype=np.int64))
+                     out["label"].to_numpy(dtype=np.int64), marker)
 
     def reduce_shard(df: pd.DataFrame) -> pa.Table:
         if not len(df):
             return _EMPTY_STATE
-        out = df.groupby("node", as_index=False)["label"].min()
-        return _pack(out["node"].to_numpy(dtype=np.int64),
-                     out["label"].to_numpy(dtype=np.int64))
+        newmin = df.groupby("node", as_index=False)["label"].min()
+        old = df[df["changed"] == 1][["node", "label"]] \
+            .rename(columns={"label": "old"})
+        m = newmin.merge(old, on="node", how="left")
+        changed = (m["old"].isna().to_numpy()
+                   | (m["label"].to_numpy() < m["old"].fillna(0).to_numpy())
+                   ).astype(np.int64)
+        return _pack(m["node"].to_numpy(dtype=np.int64),
+                     m["label"].to_numpy(dtype=np.int64), changed)
 
     def one_hop(lbls):
         state = lbls.union(adjacency)
@@ -268,21 +345,24 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
         return proposals.groupby("shard") \
             .map_groups(reduce_shard, batch_format="pandas")
 
+    converged = False
     for _ in range(max(1, max_iters // hops)):
         # ``hops`` propagation hops per materialized execution.
         # Measured at sf0.1: hops=1 wins (2.0s vs 3.5s at hops=2) —
-        # verified near-dup clusters converge in ~2 rounds, so extra
-        # chained groupbys cost more than the saved convergence checks.
-        # Raise hops for high-diameter graphs (long chains of near-dups)
-        # where round count, not per-execution overhead, dominates.
+        # star-contracted near-dup graphs converge in ~1-2 rounds, so
+        # extra chained groupbys cost more than saved convergence checks.
         chained = labels
         for _h in range(hops):
             chained = one_hop(chained)
-        new_labels = chained.materialize()
-        old_sum = labels.sum("label")
-        labels = new_labels
-        if labels.sum("label") == old_sum:
+        labels = chained.materialize()
+        if not (labels.sum("changed") or 0):
+            converged = True
             break
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "label_propagation_components: max_iters=%d exhausted before "
+            "convergence — components wider than %d hops keep >1 "
+            "representative", max_iters, max_iters * (hops + 1))
     return labels.map_batches(
         lambda t: pa.table({"node": pc_cast(t["node"]),
                             "label": pc_cast(t["label"])}),
