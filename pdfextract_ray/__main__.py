@@ -37,6 +37,16 @@ def _load_settings(args):
     return DEFAULT_SETTINGS.with_overrides(overrides)
 
 
+def _has_size_column(corpus_path) -> bool:
+    """True when the parquet corpus carries the html_size metadata
+    column (enables one-read pushdown routing for --adaptive)."""
+    try:
+        import pyarrow.dataset as pads
+        return "html_size" in pads.dataset(corpus_path).schema.names
+    except Exception:
+        return False
+
+
 def _corpus_ds(args):
     if args.html_dir:
         from pdfextract_ray.sources.readers import read_html_files
@@ -64,7 +74,10 @@ def main(argv=None) -> int:
                         help="page-exploded variant for mega-documents")
         sp.add_argument("--adaptive", action="store_true",
                         help="size-routed hybrid: small docs fused, "
-                             "oversized docs page-exploded")
+                             "oversized docs page-exploded. Parquet corpora "
+                             "with an html_size column route via pushdown "
+                             "(each row read once); without one the corpus "
+                             "is scanned twice (once per branch)")
         sp.add_argument("--adaptive-threshold", type=int, default=64 * 1024,
                         help="html byte size above which a doc routes to "
                              "the exploded path (default 64KiB)")
@@ -130,9 +143,16 @@ def main(argv=None) -> int:
         ds = _corpus_ds(args)
         if args.cmd == "extract":
             if args.adaptive:
-                from pdfextract_ray.pipelines.exploded import extract_adaptive
-                out = extract_adaptive(ds, settings=settings,
-                                       threshold_bytes=args.adaptive_threshold)
+                from pdfextract_ray.pipelines.exploded import (
+                    extract_adaptive, extract_adaptive_pushdown)
+                if not args.html_dir and _has_size_column(args.corpus):
+                    out = extract_adaptive_pushdown(
+                        args.corpus, settings=settings,
+                        threshold_bytes=args.adaptive_threshold)
+                else:
+                    out = extract_adaptive(
+                        ds, settings=settings,
+                        threshold_bytes=args.adaptive_threshold)
             elif args.exploded:
                 from pdfextract_ray.pipelines.exploded import extract_exploded
                 out = extract_exploded(ds, settings=settings)

@@ -267,6 +267,31 @@ EXPLODED_COLUMNS = ["url", "lang", "title", "text", "references",
                     "n_pages", "n_tokens", "n_refs"]
 
 
+def extract_adaptive_pushdown(paths, settings: Settings = DEFAULT_SETTINGS,
+                              threshold_bytes: int = 64 * 1024,
+                              concurrency: tuple | None = None):
+    """One-read skew router over a corpus that carries an ``html_size``
+    metadata column (the synthetic corpus does; Common-Crawl indexes
+    do too): each branch is a ``read_parquet`` with a pushdown
+    predicate on ``html_size``, so the Arrow scanner drops non-matching
+    rows during the scan — each row's html bytes enter the pipeline
+    exactly once, and row-group min/max stats prune the (mostly empty)
+    mega-doc side. Prefer this over :func:`extract_adaptive` whenever
+    the input is parquet with a size column; fall back to the
+    Dataset-based router only for in-memory corpora."""
+    import pyarrow.compute as pc
+    import ray
+    from pdfextract_ray.pipelines.extract_pipeline import CORPUS_COLUMNS
+
+    small = ray.data.read_parquet(
+        paths, columns=CORPUS_COLUMNS,
+        filter=pc.field("html_size") <= threshold_bytes)
+    big = ray.data.read_parquet(
+        paths, columns=CORPUS_COLUMNS,
+        filter=pc.field("html_size") > threshold_bytes)
+    return _adaptive_union(small, big, settings, concurrency)
+
+
 def extract_adaptive(ds, settings: Settings = DEFAULT_SETTINGS,
                      threshold_bytes: int = 64 * 1024,
                      concurrency: tuple | None = None):
@@ -279,30 +304,12 @@ def extract_adaptive(ds, settings: Settings = DEFAULT_SETTINGS,
     mid-pipeline materialize. Outputs union to one Dataset with
     identical schema/rows as either pure path.
 
-    Cost model: the corpus is READ twice (binary length is not a
-    parquet-pushdown predicate). At cluster scale, corpora that carry a
-    size metadata column should route with
-    ``read_parquet(filter=pc.field(size_col) > T)`` instead — row-group
-    min/max stats then prune the (usually empty) mega-doc side to
-    nothing before any html bytes move."""
+    Cost model: this Dataset-based variant reads/filters the corpus
+    TWICE (binary length is not a parquet-pushdown predicate). Parquet
+    corpora carrying an ``html_size`` column should use
+    :func:`extract_adaptive_pushdown` instead — the scanner-level
+    predicate makes each row enter the pipeline once."""
     import pyarrow.compute as pc
-    import ray
-    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset
-
-    # Two actor pools run CONCURRENTLY (one per branch). Two fixed
-    # pools each sized to the whole cluster would reserve every CPU and
-    # deadlock the stream (round-1 pitfall). The FUSED branch carries
-    # ~all rows under a realistic threshold, so it gets a FIXED pool
-    # (autoscaling-from-1 ramps 2.6x too slowly for compute-bound
-    # stages — measured round 1); the exploded branch idles unless
-    # mega-docs appear, so it autoscales from 1 and stays small.
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    if concurrency is None:
-        fused_n = max(1, min(ncpu * 3 // 4, ncpu - 3))
-        fused_conc = (fused_n, fused_n)
-        expl_conc = (1, max(1, ncpu // 8))
-    else:
-        fused_conc = expl_conc = concurrency
 
     def _small(t: pa.Table) -> pa.Table:
         return t.filter(pc.less_equal(
@@ -311,6 +318,34 @@ def extract_adaptive(ds, settings: Settings = DEFAULT_SETTINGS,
     def _big(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(
             pc.binary_length(pc.fill_null(t["html"], b"")), threshold_bytes))
+
+    return _adaptive_union(ds.map_batches(_small, batch_format="pyarrow"),
+                           ds.map_batches(_big, batch_format="pyarrow"),
+                           settings, concurrency)
+
+
+def _adaptive_union(small_ds, big_ds, settings: Settings,
+                    concurrency: tuple | None):
+    """Fused pipeline over ``small_ds`` ∪ exploded pipeline over
+    ``big_ds``, normalized to one schema.
+
+    Two actor pools run CONCURRENTLY (one per branch). Two fixed
+    pools each sized to the whole cluster would reserve every CPU and
+    deadlock the stream (round-1 pitfall). The FUSED branch carries
+    ~all rows under a realistic threshold, so it gets a FIXED pool
+    (autoscaling-from-1 ramps 2.6x too slowly for compute-bound
+    stages — measured round 1); the exploded branch idles unless
+    mega-docs appear, so it autoscales from 1 and stays small."""
+    import ray
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    if concurrency is None:
+        fused_n = max(1, min(ncpu * 3 // 4, ncpu - 3))
+        fused_conc = (fused_n, fused_n)
+        expl_conc = (1, max(1, ncpu // 8))
+    else:
+        fused_conc = expl_conc = concurrency
 
     target = pa.schema([
         ("url", pa.string()), ("lang", pa.string()),
@@ -323,12 +358,12 @@ def extract_adaptive(ds, settings: Settings = DEFAULT_SETTINGS,
     def _norm(t: pa.Table) -> pa.Table:
         return t.select(target.names).cast(target)
 
-    fused = extract_dataset(ds.map_batches(_small, batch_format="pyarrow"),
+    fused = extract_dataset(small_ds,
                             settings=settings, with_spans=False,
                             concurrency=fused_conc) \
         .select_columns(EXPLODED_COLUMNS) \
         .map_batches(_norm, batch_format="pyarrow")
-    exploded = extract_exploded(ds.map_batches(_big, batch_format="pyarrow"),
+    exploded = extract_exploded(big_ds,
                                 settings=settings, concurrency=expl_conc) \
         .select_columns(EXPLODED_COLUMNS) \
         .map_batches(_norm, batch_format="pyarrow")

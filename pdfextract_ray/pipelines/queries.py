@@ -82,14 +82,16 @@ def q_extract_exploded(sf_dir: str):
 def q_extract_adaptive(sf_dir: str):
     """Hybrid skew router: small docs through the fused pipeline,
     oversized docs through the page-exploded path; union of both.
-    Threshold set inside the corpus size distribution so both branches
-    run even at test scale."""
-    from pdfextract_ray.pipelines.exploded import extract_adaptive
-    from pdfextract_ray.pipelines.extract_pipeline import read_corpus
+    One-read routing: each branch is a ``read_parquet`` with a pushdown
+    predicate on the corpus's ``html_size`` metadata column, so a row's
+    html bytes enter the pipeline exactly once. Threshold set inside
+    the corpus size distribution so both branches run even at test
+    scale."""
+    from pdfextract_ray.pipelines.exploded import extract_adaptive_pushdown
     from pdfextract_ray.sources.corpus import ensure_corpus
 
     corpus = ensure_corpus(sf_dir)
-    return extract_adaptive(read_corpus(corpus), threshold_bytes=7000)
+    return extract_adaptive_pushdown(corpus, threshold_bytes=7000)
 
 
 def q_extract_references(sf_dir: str):

@@ -177,6 +177,10 @@ def corpus_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
             "html": pa.array([r["html"] for r in rows], pa.binary()),
             "text": pa.array([r["text"] for r in rows], pa.string()),
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            # size metadata column (Common-Crawl index practice): lets
+            # the adaptive skew router route with a parquet pushdown
+            # predicate instead of loading html bytes to measure them
+            "html_size": pa.array([len(r["html"]) for r in rows], pa.int64()),
         }
     )
 
@@ -202,7 +206,7 @@ def ensure_corpus(sf_dir: str, cache_root: str = "/tmp/pdfx_corpus",
     """
     import ray.data
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = os.path.basename(os.path.normpath(sf_dir)) + "-v2"  # v2: +html_size
     if repeat != 1:
         key = "%s-x%d" % (key, repeat)
     out_dir = os.path.join(cache_root, key)

@@ -82,3 +82,32 @@ def test_adaptive_router_equals_fused(ray_session, corpus_path):
         pd.testing.assert_series_equal(got[col], exp[col], check_names=False)
     assert all(list(a) == list(b) for a, b in zip(got["references"],
                                                   exp["references"]))
+
+
+def test_adaptive_pushdown_equals_fused(ray_session, corpus_path):
+    """One-read pushdown router (html_size predicate at the parquet
+    scan) equals the pure-fused output row-for-row."""
+    import glob
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pdfextract_ray.pipelines.exploded import (EXPLODED_COLUMNS,
+                                                   extract_adaptive_pushdown)
+    from pdfextract_ray.pipelines.extract_pipeline import (extract_dataset,
+                                                           read_corpus)
+
+    tbl = pq.read_table(glob.glob(corpus_path + "/*.parquet"))
+    sizes = sorted(tbl["html_size"].to_pylist())
+    assert sizes == sorted(len(h) for h in tbl["html"].to_pylist())
+    thr = sizes[len(sizes) // 2]  # both branches exercised
+
+    got = extract_adaptive_pushdown(corpus_path, threshold_bytes=thr) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert 0 < sum(1 for s in sizes if s <= thr) < len(sizes)
+
+    exp = extract_dataset(read_corpus(corpus_path), with_spans=False) \
+        .to_pandas()[EXPLODED_COLUMNS].sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(exp["url"])
+    for col in ["title", "text", "n_pages", "n_tokens", "n_refs"]:
+        pd.testing.assert_series_equal(got[col], exp[col], check_names=False)
+    assert all(list(a) == list(b) for a, b in zip(got["references"],
+                                                  exp["references"]))
