@@ -197,6 +197,54 @@ def q_extraction_metrics(sf_dir: str):
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
+def q_extract_accuracy(sf_dir: str):
+    """Accuracy scoreboard: extracted-reference counts vs the golden
+    catalog (reference ``test/catalog:144-176`` ``stats`` analogue).
+
+    The reference's ``stats`` command diffs ``parse_xml_citations``
+    counts against the catalog's ground-truth citations per DOI and
+    reports the all-matched success rate (``diff_list`` =
+    ``|left.count - right.count|``, catalog:53-55). Here the catalog is
+    ``tests/golden/summary.json`` (48 docs with frozen reference
+    lists, the ``accept`` analogue) and the diff histogram is computed
+    distributed: extraction output → pushdown-pruned (url, n_refs)
+    read → per-batch diff vs the broadcast 48-entry catalog →
+    ``groupby(diff).count()``.
+
+    Like the reference's catalog pins specific PDF files, this catalog
+    pins its own corpus (sf0.001-derived), so the harness always scores
+    against the catalog corpus regardless of ``sf_dir``. Output: one
+    row per distinct ``ref_count_diff`` with ``n_docs``, plus the
+    all-matched count is ``n_docs`` where diff = 0 (at golden parity:
+    exactly one row, (0, 48)).
+    """
+    import json
+    import pyarrow.compute as pc
+
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "golden", "summary.json")
+    with open(golden, encoding="utf-8") as f:
+        catalog = json.load(f)
+    # tiny fixed-size side (48 urls) — closure broadcast, not a shuffle
+    expected = {url: len(rec["references"]) for url, rec in catalog.items()}
+
+    ds = _read_extracted("/root/testdata/sf0.001", columns=["url", "n_refs"])
+    url_set = pa.array(sorted(expected), pa.string())
+
+    def diff_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["url"], value_set=url_set))
+        diffs = [abs(int(n) - expected[u])
+                 for u, n in zip(t["url"].to_pylist(), t["n_refs"].to_pylist())]
+        return pa.table({"ref_count_diff": pa.array(diffs, pa.int64())})
+
+    hist = (ds.map_batches(diff_batch, batch_format="pyarrow")
+              .groupby("ref_count_diff").count())
+    import pandas as pd
+    out = hist.to_pandas().rename(columns={"count()": "n_docs"})
+    return out.sort_values("ref_count_diff", ignore_index=True)
+
+
 def q_curate_corpus(sf_dir: str):
     """Composed training-data curation: extraction → quality filter
     (has title, has refs, non-trivial text) → exact dedup on extracted
@@ -1106,23 +1154,15 @@ GROUP BY t.tier
 
 
 def build_queries() -> dict:
+    """Exactly 50 queries (the driver snapshot caps at 50), oracled
+    entries first so every hash-checked row is guaranteed a slot.
+    ``extract_xml`` (superseded by the full ``extract_xml_spatials``
+    render) and ``knn_ivf`` (superseded by the self-evaluating
+    ``knn_ivf_recall``) stay importable + pytest-covered but are not
+    registered."""
     from pdfextract_ray.pipelines import relational as rel
     return {
-        # flagship extraction (non-SQL; rows-only driver check)
-        "extract_flagship": q_extract_flagship,
-        "extract_exploded": q_extract_exploded,
-        "extract_adaptive": q_extract_adaptive,
-        "extract_references": q_extract_references,
-        "extract_titles": q_extract_titles,
-        "extract_xml": q_extract_xml,
-        "extract_xml_spatials": q_extract_xml_spatials,
-        "extract_mark_svg": q_extract_mark_svg,
-        "resolved_references": q_resolved_references,
-        "bibtex": q_bibtex,
-        "curate_corpus": q_curate_corpus,
-        "curate_corpus_neardup": q_curate_corpus_neardup,
-        "extraction_metrics": q_extraction_metrics,
-        # text analysis (oracled)
+        # ---- oracled (30): hash-checked against DuckDB by the driver
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_rolling_fp": q_doc_rolling_fp,
@@ -1130,21 +1170,9 @@ def build_queries() -> dict:
         "lang_counts": q_lang_counts,
         "top_bigrams": q_top_bigrams,
         "lang_id": q_lang_id,
-        # dedup
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_simhash": q_dedup_simhash,
-        # similarity
         "knn_cosine": q_knn_cosine,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_recall": q_knn_ivf_recall,
-        "embedding_near_dup": q_embedding_near_dup,
-        # multimodal plumbing
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        # relational
         "q1_pricing": rel.q1_pricing,
         "nation_revenue": rel.nation_revenue,
         "order_lineitem_join": rel.order_lineitem_join,
@@ -1165,6 +1193,27 @@ def build_queries() -> dict:
         "sample_docs": rel.sample_docs,
         "union_extremes": rel.union_extremes,
         "orders_by_status": rel.orders_by_status,
+        # ---- rows-only (20): non-SQL-expressible pipelines
+        "extract_flagship": q_extract_flagship,
+        "extract_exploded": q_extract_exploded,
+        "extract_adaptive": q_extract_adaptive,
+        "extract_references": q_extract_references,
+        "extract_titles": q_extract_titles,
+        "extract_xml_spatials": q_extract_xml_spatials,
+        "extract_mark_svg": q_extract_mark_svg,
+        "extract_accuracy": q_extract_accuracy,
+        "resolved_references": q_resolved_references,
+        "bibtex": q_bibtex,
+        "curate_corpus": q_curate_corpus,
+        "curate_corpus_neardup": q_curate_corpus_neardup,
+        "extraction_metrics": q_extraction_metrics,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
+        "knn_ivf_recall": q_knn_ivf_recall,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 

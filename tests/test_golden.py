@@ -94,3 +94,13 @@ def test_rerun_idempotent(tiny_corpus, gazetteer):
     a = run_document(html, gazetteer=gazetteer)
     b = run_document(html, gazetteer=gazetteer)
     assert a.text == b.text and a.references == b.references
+
+
+def test_extract_accuracy_scoreboard(ray_session):
+    """test/catalog `stats` analogue: at golden parity every catalog
+    doc's extracted reference count matches ground truth exactly —
+    the histogram is the single row (diff=0, n_docs=48)."""
+    from pdfextract_ray.pipelines.queries import q_extract_accuracy
+    out = q_extract_accuracy("/root/testdata/sf0.001")
+    assert list(out.columns) == ["ref_count_diff", "n_docs"]
+    assert out.values.tolist() == [[0, 48]]
