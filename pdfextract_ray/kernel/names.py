@@ -133,10 +133,35 @@ class NoDetection:
 # names.rb:76-86: module-level pluggable detector (``Names.detector=``)
 _detector = NamesDatabase
 
+_BACKENDS = {
+    "database": NamesDatabase,
+    "service": NamesService,
+    "none": NoDetection,
+}
+
+
+def resolve_detector(spec):
+    """Map a backend selector to a detector: the strings
+    ``"database"``/``"service"``/``"none"``, or any object exposing
+    ``detect_names`` passes through unchanged."""
+    if isinstance(spec, str):
+        try:
+            return _BACKENDS[spec]
+        except KeyError:
+            raise ValueError("unknown names backend %r (expected one of %s)"
+                             % (spec, sorted(_BACKENDS))) from None
+    return spec
+
 
 def set_detector(detector) -> None:
     """Swap the active backend (class or instance exposing
-    ``detect_names(content, gazetteer=None)``)."""
+    ``detect_names(content, gazetteer=None)``).
+
+    PROCESS-LOCAL: this mutates a module global in the calling process
+    only — Ray workers import the module fresh and never see it. For
+    distributed extraction, select the backend via
+    ``Settings(names_backend=...)`` (serialized to every actor) instead.
+    """
     global _detector
     _detector = detector
 
@@ -145,8 +170,12 @@ def get_detector():
     return _detector
 
 
-def detect_names(content: str, gazetteer: dict[str, bool]) -> float:
+def detect_names(content: str, gazetteer: dict[str, bool],
+                 backend: str | None = None) -> float:
     """Return name_frequency for ``content`` via the active detector
-    (names.rb:84-86). The default ``NamesDatabase`` path is the
-    byte-identical live-path math."""
-    return _detector.detect_names(content, gazetteer)
+    (names.rb:84-86). ``backend`` (from ``Settings.names_backend``)
+    overrides the process-local default when given — that is the path
+    that works inside Ray workers. The default ``NamesDatabase`` path
+    is the byte-identical live-path math."""
+    det = _detector if backend is None else resolve_detector(backend)
+    return det.detect_names(content, gazetteer)

@@ -60,7 +60,8 @@ def _possible_header(region: dict, column: dict) -> bool:
 
 
 def _add_content_stats(sections: list[dict], page_count: int,
-                       gazetteer: dict[str, bool]) -> list[dict]:
+                       gazetteer: dict[str, bool],
+                       names_backend: str | None = None) -> list[dict]:
     # sections.rb:72-85; the Ruby `components.max {|c| c[:page]}` abuses a
     # one-arg block as a comparator — components arrive in reading order
     # (ascending page), so the effective result is the max page.
@@ -73,7 +74,8 @@ def _add_content_stats(sections: list[dict], page_count: int,
             "letter_ratio": language.letter_ratio(content),
             "year_ratio": language.year_ratio(content),
             "cap_ratio": language.cap_ratio(content),
-            "name_ratio": names.detect_names(content, gazetteer),
+            "name_ratio": names.detect_names(content, gazetteer,
+                                             backend=names_backend),
             "word_count": language.word_count(content),
             "lateness": last_page / float(page_count),
         })
@@ -131,6 +133,7 @@ def build_sections(all_regions: list[dict], all_columns: list[dict],
     if merging_region is not None:
         sections.append(merging_region)
 
-    sections = _add_content_stats(sections, len(pages), gazetteer)
+    sections = _add_content_stats(sections, len(pages), gazetteer,
+                                  names_backend=settings.names_backend)
     spatial.score(sections, REF_IDEALS, "reference_score")
     return sections

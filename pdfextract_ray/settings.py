@@ -39,13 +39,23 @@ class Settings:
     min_sequence_count: float = 3.0
     max_reference_order: float = 1000.0
     min_lateness: float = 0.5
+    # names (names.rb:76-86 ``Names.detector=``): backend selector that
+    # survives serialization to Ray workers — "database" | "service" |
+    # "none"; None inherits the process-local module default
+    # (names.set_detector), which only affects the driver process.
+    names_backend: str | None = None
+
+    _STR_FIELDS = frozenset({"names_backend"})
 
     def with_overrides(self, overrides: Mapping[str, Any] | None) -> "Settings":
         """Reference coerces every override with ``value.to_f``
-        (pdf.rb:29-36); we mirror with float()."""
+        (pdf.rb:29-36); we mirror with float() for the numeric tunables
+        (string-valued selectors pass through)."""
         if not overrides:
             return self
-        return replace(self, **{k: float(v) for k, v in overrides.items()})
+        return replace(self, **{
+            k: (str(v) if k in self._STR_FIELDS else float(v))
+            for k, v in overrides.items()})
 
 
 DEFAULT_SETTINGS = Settings()

@@ -51,3 +51,33 @@ def test_cli_set_changes_output(tmp_path):
     loose = run_document(html, settings=Settings(title_slop=1.0))
     assert base.title != loose.title
     assert "digital library archive" in (loose.title or "")
+
+
+def test_names_backend_string_override_passthrough():
+    s = DEFAULT_SETTINGS.with_overrides({"names_backend": "none"})
+    assert s.names_backend == "none"
+    assert s.reference_flex == DEFAULT_SETTINGS.reference_flex
+
+
+def test_names_backend_threads_to_kernel(gazetteer):
+    """names_backend travels inside Settings (worker-safe), unlike the
+    process-local set_detector: 'none' zeroes every section name_ratio."""
+    from pdfextract_ray.kernel.document import run_document
+    from pdfextract_ray.sources.corpus import corpus_table_local
+    html = corpus_table_local("/root/testdata/sf0.001", limit=3).column("html")[2].as_py()
+    base = run_document(html, gazetteer=gazetteer)
+    off = run_document(html, Settings(names_backend="none"), gazetteer=gazetteer)
+    assert any(s["name_ratio"] > 0 for s in base.sections)
+    assert all(s["name_ratio"] == 0.0 for s in off.sections)
+    # service backend: no server in the sandbox -> bare-rescue 0.0 (names.rb)
+    svc = run_document(html, Settings(names_backend="service"), gazetteer=gazetteer)
+    assert all(s["name_ratio"] == 0.0 for s in svc.sections)
+
+
+def test_resolve_detector_rejects_unknown():
+    import pytest
+    from pdfextract_ray.kernel.names import resolve_detector, NamesDatabase
+    assert resolve_detector("database") is NamesDatabase
+    assert resolve_detector(NamesDatabase) is NamesDatabase
+    with pytest.raises(ValueError):
+        resolve_detector("mongo")
