@@ -22,3 +22,26 @@ Layers
 """
 
 __version__ = "0.1.0"
+
+
+def _mute_schema_hash_noise() -> None:
+    """Drop Ray Data's per-worker "Failed to hash the schemas" warning.
+
+    pyarrow cannot hash a Schema that carries key-value metadata
+    (``hash(schema)`` raises ``unhashable type: 'dict'``), and every
+    pandas-written parquet — including the driver's testdata — embeds
+    a ``pandas`` metadata blob, so Ray's schema-dedup fast path logs
+    this once per worker on every read. Purely cosmetic (Ray falls
+    back to full unification); filter just that message."""
+    import logging
+
+    class _Filter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return not record.getMessage().startswith(
+                "Failed to hash the schemas")
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_Filter())
+
+
+_mute_schema_hash_noise()
