@@ -35,6 +35,32 @@ def _read(sf_dir: str, name: str, columns=None):
     return ray.data.read_parquet(_pq(sf_dir, name), columns=columns)
 
 
+def _read_balanced(sf_dir: str, name: str, columns=None):
+    """Pruned read that guarantees enough blocks to parallelize the
+    first map stage. Parquet readers can't split below row-group
+    granularity, so a table written as one row group yields ONE block
+    and serializes whatever map follows (measured: the minhash banding
+    kernel is ~1 CPU-s at sf0.1 but ran as a single task). When the
+    footer says the input is under-partitioned relative to the cluster
+    (fewer row groups than CPUs), coalesce-split it with a repartition
+    of the PRUNED columns; on a real multi-file / multi-row-group
+    corpus the condition is false and this is exactly ``_read``."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(_pq(sf_dir, name), columns=columns)
+    try:
+        n_groups = pq.ParquetFile(_pq(sf_dir, name)).metadata.num_row_groups
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:
+        return ds
+    if n_groups < cpus:
+        ds = ds.repartition(cpus * 2)
+    return ds
+
+
 # ------------------------------------------------------------------ corpus
 
 def ensure_extracted(sf_dir: str) -> str:
@@ -517,7 +543,7 @@ def q_top_bigrams(sf_dir: str, k: int = 50):
     from ray.data.aggregate import Sum
     from pdfextract_ray.stages.textstats import bigram_partials_batch
 
-    summed = _read(sf_dir, "documents", ["doc_id", "text"]) \
+    summed = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(bigram_partials_batch, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n", alias_name="n"))
 
@@ -664,7 +690,7 @@ def q_dedup_exact(sf_dir: str):
         return pa.table({"text_hash": pa.array(hashes, pa.string()),
                          "doc_id": t["doc_id"]})
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+    return _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(hash_batch, batch_format="pyarrow") \
         .groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
 
@@ -685,7 +711,7 @@ def q_dedup_minhash(sf_dir: str):
     from pdfextract_ray.stages.dedup import (label_propagation_components,
                                              minhash_bands_batch, pc_cast,
                                              shard_pairs_group)
-    bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
+    bands = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(minhash_bands_batch, batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(shard_pairs_group, batch_format="pandas") \
@@ -708,7 +734,7 @@ def q_dedup_simhash(sf_dir: str):
     driver-side drop_duplicates)."""
     from ray.data.aggregate import Min
     from pdfextract_ray.stages.dedup import simhash_batch, simhash_shard_group
-    bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
+    bands = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(simhash_batch, batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(simhash_shard_group, batch_format="pandas") \
@@ -735,7 +761,7 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     from pdfextract_ray.stages.dedup import (minhash_bands_batch, ngram_jaccard,
                                              shard_pairs_group)
 
-    bands = _read(sf_dir, "documents", ["doc_id", "text"]) \
+    bands = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(minhash_bands_batch, batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(shard_pairs_group, batch_format="pandas") \

@@ -45,6 +45,30 @@ _PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.ui
 _PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
 
 
+def default_shard_mask() -> int:
+    """Ray-group count for the band/propagation shuffles, derived from
+    cluster size: ~4 groups per CPU (task-balance headroom), power of
+    two, clamped to [16, 65536) groups. One 32-CPU node → 128 groups;
+    a 256-node × 32-CPU cluster → 32768 groups, keeping every
+    shard-group one-map_groups-task-sized. Fewer groups at small scale
+    matters too: each Ray group is a task invocation, so a fixed 256
+    was pure overhead on a 4-CPU run (measured; see SCALING.md)."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    groups = 16
+    while groups < cpus * 4 and groups < 65536:
+        groups <<= 1
+    return groups - 1
+
+
+def _mask(shard_mask: int | None) -> int:
+    return default_shard_mask() if shard_mask is None else shard_mask
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Hashes of word k-shingles (crc32 of the joined shingle)."""
     words = text.lower().split()
@@ -66,7 +90,7 @@ def minhash_signature(text: str) -> np.ndarray:
 
 def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
                         text_col: str = "text",
-                        shard_mask: int = 0xFF) -> pa.Table:
+                        shard_mask: int | None = None) -> pa.Table:
     """Emit one row per (doc, band): the LSH explode stage.
 
     Deliberately per-doc numpy, NOT one batch-wide matrix: signature
@@ -86,7 +110,7 @@ def minhash_bands_batch(batch: pa.Table, id_col: str = "doc_id",
 
 def bands_from_sig_batch(batch: pa.Table, id_col: str = "doc_id",
                          sig_col: str = "sig",
-                         shard_mask: int = 0xFF) -> pa.Table:
+                         shard_mask: int | None = None) -> pa.Table:
     """LSH explode over PRE-COMPUTED signature bytes (512 B per doc).
 
     Lets a composed pipeline compute the MinHash signature once in its
@@ -97,7 +121,9 @@ def bands_from_sig_batch(batch: pa.Table, id_col: str = "doc_id",
                       shard_mask)
 
 
-def _band_rows(ids: list, sig_list: list[bytes], shard_mask: int) -> pa.Table:
+def _band_rows(ids: list, sig_list: list[bytes],
+               shard_mask: int | None) -> pa.Table:
+    shard_mask = _mask(shard_mask)
     band_ids: list[int] = []
     band_hashes: list[int] = []
     out_ids: list[int] = []
@@ -112,11 +138,11 @@ def _band_rows(ids: list, sig_list: list[bytes], shard_mask: int) -> pa.Table:
             sigs.append(sig_bytes)
     # "shard" groups many (band_id, band_hash) buckets into one Ray group:
     # a groupby over millions of mostly-singleton buckets pays Ray's
-    # per-group overhead; 256 shard-groups keep the shuffle shape while
-    # the within-shard bucket grouping runs vectorized in pandas.
-    # shard_mask sizes the Ray-level group count: 256 groups suit one
-    # node; at cluster scale raise it (e.g. 0xFFFF) so each shard-group
-    # stays small enough for one map_groups task.
+    # per-group overhead, so the within-shard bucket grouping runs
+    # vectorized in pandas instead. shard_mask sizes the Ray-level
+    # group count and defaults to cluster-derived (default_shard_mask:
+    # ~4 groups/CPU) so each shard-group stays one-task-sized at any
+    # cluster size without paying per-group overhead at small scale.
     shards = [(bh ^ bi) & shard_mask for bi, bh in zip(band_ids, band_hashes)]
     return pa.table({
         "shard": pa.array(shards, pa.int32()),
@@ -192,7 +218,7 @@ def connected_components(pairs: "pd.DataFrame") -> dict[int, int]:
 
 
 def label_propagation_components(pairs_ds, max_iters: int = 8,
-                                 shard_mask: int = 0xFF, hops: int = 1,
+                                 shard_mask: int | None = None, hops: int = 1,
                                  num_parts: int | None = None):
     """Distributed connected components over a pair Dataset (a, b):
     iterative min-label propagation — the 10^12-doc alternative to
@@ -230,8 +256,9 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
 
     Scale knobs: ``num_parts`` (adjacency partition count) defaults to
     cluster CPUs // 4 (min 4) and ``shard_mask`` sizes the Ray-level
-    group count (0xFF = 256 groups suits one node; raise at cluster
-    scale so each shard-group stays one-task-sized — see SCALING.md).
+    group count, defaulting to cluster-derived (``default_shard_mask``:
+    ~4 groups per CPU) so each shard-group stays one-task-sized at any
+    cluster size — see SCALING.md.
 
     Returns a Dataset of (node, label), label = min node id in the
     component.
@@ -240,6 +267,7 @@ def label_propagation_components(pairs_ds, max_iters: int = 8,
     import numpy as np
     import pandas as pd
 
+    shard_mask = _mask(shard_mask)
     if num_parts is None:
         try:
             import ray
@@ -397,9 +425,11 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
-                  text_col: str = "text", shard_mask: int = 0xFF) -> pa.Table:
+                  text_col: str = "text",
+                  shard_mask: int | None = None) -> pa.Table:
     """Emit (doc_id, simhash, band_id, band_key) rows — 4×16-bit bands;
     two docs within Hamming distance 3 share ≥1 exact band."""
+    shard_mask = _mask(shard_mask)
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     out_ids, hashes, band_ids, band_keys = [], [], [], []

@@ -174,27 +174,51 @@ _LANG_MARKERS = {
 
 
 class LangId:
-    """Actor-pool language-ID stage (state = marker tables, built once)."""
+    """Actor-pool language-ID stage (state = marker value-sets, built
+    once per actor). The per-word membership test — the hot loop at
+    corpus scale — is vectorized: one whitespace split, then one
+    ``pc.is_in`` + ``np.bincount`` per language over the flattened
+    token column. Tie semantics match the scalar reference loop
+    (strict improvement in marker-table order → first language wins a
+    tie; zero hits → "und"), and the final per-doc score keeps Python
+    ``round`` (correctly-rounded decimal; np.round's scale-divide can
+    differ in the last ulp, which would break the DuckDB oracle hash)."""
 
     def __init__(self) -> None:
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = list(_LANG_MARKERS)
+        self.marker_sets = {k: pa.array(sorted(v), pa.string())
+                            for k, v in _LANG_MARKERS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        scores = []
-        for t in batch["text"].to_pylist():
-            words = (t or "").lower().split()
-            if not words:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0
-            for lang, marks in self.markers.items():
-                hits = sum(1 for w in words if w in marks)
-                if hits > best:
-                    best_lang, best = lang, hits
-            preds.append(best_lang)
-            scores.append(round(best / len(words), 6))
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        texts = pc.fill_null(
+            pc.utf8_lower(batch["text"].combine_chunks()), "")
+        words = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        # str.split() semantics: drop the empty tokens Arrow keeps at
+        # string edges
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+
+        wc = np.bincount(par, minlength=n).astype(np.int64)
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            m = pc.is_in(flat, value_set=self.marker_sets[lang]) \
+                .to_numpy(zero_copy_only=False)
+            if m.any():
+                hits[i] = np.bincount(par[m], minlength=n)
+        best_idx = hits.argmax(axis=0)          # first index wins ties
+        best = hits[best_idx, np.arange(n)]
+
+        preds = [self.langs[i] if b > 0 else "und"
+                 for i, b in zip(best_idx, best)]
+        scores = [round(b / w, 6) if w else 0.0
+                  for b, w in zip(best.tolist(), wc.tolist())]
         return pa.table({
             "doc_id": batch["doc_id"],
             "lang": batch["lang"],
