@@ -51,6 +51,9 @@ def _corpus_ds(args):
     if args.html_dir:
         from pdfextract_ray.sources.readers import read_html_files
         return read_html_files(args.corpus)
+    if getattr(args, "jsonl", False):
+        from pdfextract_ray.sources.readers import read_jsonl_corpus
+        return read_jsonl_corpus(args.corpus)
     from pdfextract_ray.pipelines.extract_pipeline import read_corpus
     return read_corpus(args.corpus)
 
@@ -64,6 +67,9 @@ def main(argv=None) -> int:
         sp.add_argument("--out", required=True)
         sp.add_argument("--set", action="append", metavar="KEY:VALUE")
         sp.add_argument("--config")
+        sp.add_argument("--jsonl", action="store_true",
+                        help="corpus is a JSONL web-text dump (one JSON "
+                             "object per line with url/html/text fields)")
         sp.add_argument("--html-dir", action="store_true",
                         help="corpus is a directory of raw .html files")
         sp.add_argument("--num-cpus", type=int, default=None)
@@ -127,8 +133,11 @@ def main(argv=None) -> int:
 
     settings = _load_settings(args)
     try:
-        if args.cmd == "extract" and not args.html_dir and not args.exploded \
+        if args.cmd == "extract" and not args.html_dir \
+                and not getattr(args, "jsonl", False) and not args.exploded \
                 and not args.adaptive and not args.xml:
+            # (--jsonl runs the plain pipeline below: the resumable
+            # shard-manifest job shards by parquet file group)
             # full resumable job with manifests + metrics
             from pdfextract_ray.pipelines.extract_pipeline import run_extract
             stats = run_extract(args.corpus, args.out, settings=settings,
