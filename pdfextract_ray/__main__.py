@@ -54,6 +54,9 @@ def _corpus_ds(args):
     if getattr(args, "jsonl", False):
         from pdfextract_ray.sources.readers import read_jsonl_corpus
         return read_jsonl_corpus(args.corpus)
+    if getattr(args, "warc", False):
+        from pdfextract_ray.sources.readers import read_warc_corpus
+        return read_warc_corpus(args.corpus)
     from pdfextract_ray.pipelines.extract_pipeline import read_corpus
     return read_corpus(args.corpus)
 
@@ -70,6 +73,9 @@ def main(argv=None) -> int:
         sp.add_argument("--jsonl", action="store_true",
                         help="corpus is a JSONL web-text dump (one JSON "
                              "object per line with url/html/text fields)")
+        sp.add_argument("--warc", action="store_true",
+                        help="corpus is WARC file(s) (.warc / .warc.gz); "
+                             "HTML response records become documents")
         sp.add_argument("--html-dir", action="store_true",
                         help="corpus is a directory of raw .html files")
         sp.add_argument("--num-cpus", type=int, default=None)
@@ -134,7 +140,8 @@ def main(argv=None) -> int:
     settings = _load_settings(args)
     try:
         if args.cmd == "extract" and not args.html_dir \
-                and not getattr(args, "jsonl", False) and not args.exploded \
+                and not getattr(args, "jsonl", False) \
+                and not getattr(args, "warc", False) and not args.exploded \
                 and not args.adaptive and not args.xml:
             # (--jsonl runs the plain pipeline below: the resumable
             # shard-manifest job shards by parquet file group)

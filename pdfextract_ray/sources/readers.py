@@ -7,6 +7,10 @@
 - :func:`read_jsonl_corpus` — JSONL ingestion (the common wire format
   for web-text dumps: one JSON object per line with url/html/text
   fields), normalized to the corpus schema with vectorized casts.
+- :func:`read_warc_corpus` — WARC ingestion (ISO 28500, the archival
+  wire format 100-TB web crawls actually arrive in): ``response``
+  records become corpus rows; ``warcinfo``/``request``/``metadata``
+  records and non-HTML payloads are skipped.
 - :func:`corpus_from_table` — wrap an in-memory Arrow table.
 
 All readers emit the full corpus schema including ``html_size`` so the
@@ -96,6 +100,129 @@ def read_jsonl_corpus(path: str, *, url_field: str = "url",
             "text": text,
             "lang": lang,
             "html_size": pc.binary_length(html).cast(pa.int64()),
+        })
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
+def parse_warc_records(buf: bytes):
+    """Yield ``(url, epoch_us, html_bytes)`` for each HTML ``response``
+    record in one WARC file's bytes (ISO 28500 record grammar: a
+    ``WARC/1.x`` header block, CRLFCRLF, ``Content-Length`` payload
+    bytes, CRLFCRLF boundary).
+
+    Pure function (no Ray) so the parser is unit-testable. Tolerant by
+    design — a truncated tail record, a non-numeric Content-Length or a
+    payload without an HTTP header block ends/skips that record instead
+    of raising, because at crawl scale a single corrupt record must
+    never kill a whole shard task (same per-record error isolation as
+    the extraction stage, readers analogue of ``pdf.rb:164-174``'s
+    per-file rescue).
+    """
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # skip inter-record CRLFs
+        while buf.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            return
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        head = buf[pos:hdr_end]
+        if not head.startswith(b"WARC/"):
+            return  # lost framing — stop rather than misparse
+        headers = {}
+        for line in head.split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            return  # cannot skip a record of unknown length
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            return  # truncated tail record
+        payload = buf[body_start:body_end]
+        pos = body_end
+
+        if headers.get(b"warc-type") == b"response":
+            url = headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", errors="replace").strip("<>")
+            ts = _parse_warc_date(headers.get(b"warc-date"))
+            html = _http_body(payload)
+            if url and html is not None:
+                yield url, ts, html
+
+
+def _parse_warc_date(raw: bytes | None) -> int:
+    """WARC-Date (ISO 8601 ``YYYY-MM-DDThh:mm:ssZ``) → epoch micros."""
+    if not raw:
+        return _EPOCH_US
+    from datetime import datetime, timezone
+    try:
+        dt = datetime.fromisoformat(
+            raw.decode("ascii").replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    except ValueError:
+        return _EPOCH_US
+
+
+def _http_body(payload: bytes) -> bytes | None:
+    """HTTP response payload → entity body (None = not parseable HTTP)."""
+    if not payload.startswith(b"HTTP/"):
+        return None
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    return payload[sep + 4:]
+
+
+def read_warc_corpus(path: str):
+    """WARC file(s) → corpus-schema Dataset.
+
+    One ``read_binary_files`` task per ``.warc`` / ``.warc.gz`` file —
+    the same unit of parallelism Common-Crawl-style jobs use (crawls
+    ship as many ~1 GB segment files, so file-level fan-out saturates a
+    cluster without any splitting logic; a task holds one decompressed
+    segment in heap, so keep segments to the conventional ~1 GB).
+    Record parsing is necessarily a per-record byte scan, but it runs
+    inside the parallel tasks, not on the driver. ``text`` is left empty
+    (extraction fills it); ``lang`` is ``und`` (WARC has no language
+    header).
+    """
+    import gzip
+
+    import ray.data
+
+    ds = ray.data.read_binary_files(path)
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        urls, tss, htmls = [], [], []
+        for buf in t["bytes"].to_pylist():
+            # gzip magic only — read_binary_files already auto-decompresses
+            # *.gz by extension, so bytes may arrive pre-decompressed;
+            # multi-member streams (per-record gzip) decompress fully
+            if buf[:2] == b"\x1f\x8b":
+                buf = gzip.decompress(buf)
+            for url, ts, html in parse_warc_records(buf):
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(html)
+        html_arr = pa.array(htmls, pa.binary())
+        nrows = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": html_arr,
+            "text": pa.array([""] * nrows, pa.string()),
+            "lang": pa.array(["und"] * nrows, pa.string()),
+            "html_size": pc.binary_length(html_arr).cast(pa.int64()),
         })
 
     return ds.map_batches(to_corpus, batch_format="pyarrow")

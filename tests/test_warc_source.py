@@ -1,0 +1,113 @@
+"""WARC ingestion: record grammar, gzip, tolerance, extraction parity."""
+
+import gzip
+
+import pytest
+
+from pdfextract_ray.sources.readers import parse_warc_records, read_warc_corpus
+
+CORPUS_COLS = ["url", "warc_ts", "html", "text", "lang", "html_size"]
+
+
+def _record(wtype: bytes, payload: bytes, url: bytes | None = None,
+            date: bytes = b"2024-01-01T00:00:00Z") -> bytes:
+    head = [b"WARC/1.0",
+            b"WARC-Type: " + wtype,
+            b"WARC-Date: " + date,
+            b"Content-Length: " + str(len(payload)).encode()]
+    if url is not None:
+        head.append(b"WARC-Target-URI: " + url)
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _response(url: str, html: bytes,
+              date: bytes = b"2024-01-01T00:00:00Z") -> bytes:
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+    return _record(b"response", http, url.encode(), date)
+
+
+def _warc_bytes(rows) -> bytes:
+    out = [_record(b"warcinfo", b"software: test\r\n")]
+    for r in rows:
+        out.append(_record(b"request", b"GET / HTTP/1.1\r\n\r\n",
+                           r["url"].encode()))
+        out.append(_response(r["url"], r["html"]))
+    return b"".join(out)
+
+
+def test_parse_warc_records_grammar():
+    rows = [{"url": "http://a/1", "html": b"<p>one</p>"},
+            {"url": "http://b/2", "html": b"<p>two</p>"}]
+    got = list(parse_warc_records(_warc_bytes(rows)))
+    assert [(u, h) for u, _, h in got] == \
+        [("http://a/1", b"<p>one</p>"), ("http://b/2", b"<p>two</p>")]
+    # WARC-Date parsed to epoch micros (2024-01-01T00:00:00Z)
+    assert got[0][1] == 1_704_067_200_000_000
+
+
+def test_parse_warc_tolerates_corruption():
+    ok = _response("http://a/1", b"<p>ok</p>")
+    # truncated tail record: header promises more bytes than exist
+    truncated = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nxx"
+    assert [u for u, _, _ in parse_warc_records(ok + truncated)] == ["http://a/1"]
+    # response whose payload is not HTTP → skipped, later records kept
+    nonhttp = _record(b"response", b"garbage", b"http://bad")
+    buf = nonhttp + _response("http://good", b"<p>g</p>")
+    assert [u for u, _, _ in parse_warc_records(buf)] == ["http://good"]
+    # bracketed URI (WARC 1.0 style) unwrapped
+    bracketed = _record(b"response",
+                        b"HTTP/1.1 200 OK\r\n\r\n<p>b</p>", b"<http://br/x>")
+    assert next(parse_warc_records(bracketed))[0] == "http://br/x"
+    assert list(parse_warc_records(b"")) == []
+    assert list(parse_warc_records(b"not a warc")) == []
+
+
+@pytest.fixture(scope="module")
+def warc_corpus(ray_session, tiny_corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc_corpus")
+    rows = tiny_corpus.slice(0, 8).to_pylist()
+    recs = [{"url": r["url"], "html": r["html"]} for r in rows]
+    (d / "seg-0.warc").write_bytes(_warc_bytes(recs[:4]))
+    (d / "seg-1.warc.gz").write_bytes(gzip.compress(_warc_bytes(recs[4:])))
+    return str(d)
+
+
+def test_warc_schema_and_roundtrip(ray_session, tiny_corpus, warc_corpus):
+    got = read_warc_corpus(warc_corpus).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = tiny_corpus.slice(0, 8).select(CORPUS_COLS).sort_by("url").to_pandas()
+    assert list(got.columns) == CORPUS_COLS
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["html"].tolist() == want["html"].tolist()
+    assert got["html_size"].tolist() == want["html_size"].tolist()
+    assert got["lang"].eq("und").all() and got["text"].eq("").all()
+    assert str(got["warc_ts"].iloc[0]) == "2024-01-01 00:00:00"
+
+
+def test_warc_extraction_equals_table(ray_session, tiny_corpus, warc_corpus):
+    import ray.data
+
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset
+
+    via_warc = extract_dataset(read_warc_corpus(warc_corpus)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    via_table = extract_dataset(ray.data.from_arrow(tiny_corpus.slice(0, 8))) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert via_warc["text"].tolist() == via_table["text"].tolist()
+    assert via_warc["title"].tolist() == via_table["title"].tolist()
+
+
+def test_cli_extract_warc(ray_session, warc_corpus, tmp_path, capsys):
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdfextract_ray.__main__ import main
+    out = str(tmp_path / "out")
+    assert main(["extract", warc_corpus, "--warc", "--out", out]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["ok"] is True
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert t.num_rows == 8 and "text" in t.schema.names
