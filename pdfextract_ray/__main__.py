@@ -6,6 +6,7 @@ settings; mapped to the Ray engine):
   python -m pdfextract_ray extract <corpus> --out DIR [--xml] [--exploded]
   python -m pdfextract_ray extract-bib <corpus> --out DIR
   python -m pdfextract_ray spans <corpus> --out DIR        # mark analogue: bbox parquet
+  python -m pdfextract_ray curate <corpus> --out DIR       # dedup'd training corpus
   python -m pdfextract_ray settings                        # list tunables
 
 <corpus> is a parquet file/dir of corpus-schema rows, or a directory of
@@ -22,6 +23,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 
@@ -119,6 +121,18 @@ def main(argv=None) -> int:
     sp_x.add_argument("--outline", action="store_true",
                       help="attributes only, no text content")
 
+    sp_c = sub.add_parser(
+        "curate", help="training-data curation: extract → quality filter → "
+                       "exact dedup → near-dup clustering → representatives")
+    common(sp_c)
+    sp_c.add_argument("--extracted", action="store_true",
+                      help="corpus is already-extracted parquet (url, title, "
+                           "text, lang, n_refs, n_tokens columns); skips the "
+                           "extraction stage and reads only those columns")
+    sp_c.add_argument("--exact-only", action="store_true",
+                      help="exact text dedup only (skip MinHash-LSH "
+                           "near-dup clustering)")
+
     sub.add_parser("settings", help="list tunables")
 
     args = p.parse_args(argv)
@@ -156,7 +170,8 @@ def main(argv=None) -> int:
         from pdfextract_ray.registry import default_registry
         reg = default_registry()
         ctx = {"settings": settings}
-        ds = _corpus_ds(args)
+        ds = None if (args.cmd == "curate" and args.extracted) \
+            else _corpus_ds(args)
         if args.cmd == "extract":
             if args.adaptive:
                 from pdfextract_ray.pipelines.exploded import (
@@ -184,6 +199,30 @@ def main(argv=None) -> int:
                 from pdfextract_ray.views import render_mark_batch
                 out = out.map_batches(render_mark_batch, batch_format="pyarrow")
             out.write_parquet(args.out)
+        elif args.cmd == "curate":
+            from pdfextract_ray.pipelines.queries import (curate_exact,
+                                                          curate_neardup)
+            cols = ["url", "title", "text", "lang", "n_refs", "n_tokens"]
+            if args.extracted:
+                import glob
+                import ray.data
+                paths = args.corpus
+                if os.path.isdir(paths):
+                    # tolerate run metadata (_RUN.json, manifests) next to
+                    # the shard parquet of an extract-job output dir
+                    found = sorted(glob.glob(
+                        os.path.join(paths, "**", "*.parquet"),
+                        recursive=True))
+                    if found:
+                        paths = found
+                cds = ray.data.read_parquet(paths, columns=cols)
+            else:
+                from pdfextract_ray.pipelines.extract_pipeline import \
+                    extract_dataset
+                cds = extract_dataset(ds, settings=settings,
+                                      with_spans=False).select_columns(cols)
+            curate = curate_exact if args.exact_only else curate_neardup
+            curate(cds).write_parquet(args.out)
         elif args.cmd == "xml":
             from pdfextract_ray.views import ALL_SPATIAL_TYPES, XmlSpatials
             types = tuple(t.strip() for t in args.spatials.split(",") if t.strip())

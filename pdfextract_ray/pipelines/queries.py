@@ -276,13 +276,20 @@ def q_curate_corpus(sf_dir: str):
     (has title, has refs, non-trivial text) → exact dedup on extracted
     text (hash groupby keep-min-url) → curated rows. The end-to-end
     shape a corpus-curation user runs daily."""
+    ds = _read_extracted(sf_dir, columns=["url", "title", "text", "lang",
+                                          "n_refs", "n_tokens", "error"])
+    return curate_exact(ds)
+
+
+def curate_exact(ds):
+    """Quality filter → exact text dedup (min-url per hash) over any
+    Dataset with (url, title, text, lang, n_refs, n_tokens). The
+    exact-only sibling of :func:`curate_neardup` (CLI ``curate
+    --exact-only``)."""
     import hashlib
     import zlib
     import pandas as pd
     import pyarrow.compute as pc
-
-    ds = _read_extracted(sf_dir, columns=["url", "title", "text", "lang",
-                                          "n_refs", "n_tokens", "error"])
 
     def keep_quality(t: pa.Table) -> pa.Table:
         ok = pc.and_(pc.is_valid(t["title"]),

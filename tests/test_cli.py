@@ -80,3 +80,26 @@ def test_cli_adaptive_variant(cli_corpus, tmp_path):
     t = pq.read_table(glob.glob(out + "/*.parquet"))
     assert t.num_rows == 8
     assert "text" in t.schema.names
+
+
+def test_cli_curate(cli_corpus, tmp_path):
+    out = str(tmp_path / "curated")
+    assert main(["curate", cli_corpus, "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert t.schema.names == ["url", "lang", "title", "n_refs", "n_tokens"]
+    assert 0 < t.num_rows <= 8
+
+
+def test_cli_curate_extracted_equals_inline(cli_corpus, tmp_path):
+    """curate --extracted over an extract-job output dir (with _RUN.json
+    and manifests present) equals the inline extract→curate path."""
+    ext = str(tmp_path / "ext")
+    assert main(["extract", cli_corpus, "--out", ext, "--shards", "1"]) == 0
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    assert main(["curate", ext, "--extracted", "--exact-only",
+                 "--out", out_a]) == 0
+    assert main(["curate", cli_corpus, "--exact-only", "--out", out_b]) == 0
+    ta = pq.read_table(glob.glob(os.path.join(out_a, "*.parquet")))
+    tb = pq.read_table(glob.glob(os.path.join(out_b, "*.parquet")))
+    assert ta.sort_by("url").to_pydict() == tb.sort_by("url").to_pydict()
