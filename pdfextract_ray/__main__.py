@@ -135,6 +135,22 @@ def main(argv=None) -> int:
 
     sub.add_parser("settings", help="list tunables")
 
+    sp_q = sub.add_parser(
+        "query", help="run a registered corpus query by name over a "
+                      "table directory (see `query --list`)")
+    sp_q.add_argument("name", nargs="?",
+                      help="query name from the registry")
+    sp_q.add_argument("--list", action="store_true", dest="list_queries",
+                      help="list available query names and exit")
+    sp_q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                      help="directory holding the parquet tables "
+                           "(documents, embeddings, orders, ...)")
+    sp_q.add_argument("--out", help="write the result as parquet here "
+                                    "(default: print rows as JSON lines)")
+    sp_q.add_argument("--limit", type=int, default=20,
+                      help="max rows to print without --out (default 20)")
+    sp_q.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "settings":
@@ -142,6 +158,51 @@ def main(argv=None) -> int:
         for f in dataclasses.fields(DEFAULT_SETTINGS):
             print("%-22s %s" % (f.name, f.default))
         return 0
+
+    if args.cmd == "query":
+        from pdfextract_ray.pipelines.queries import build_queries
+        qs = build_queries()
+        if args.list_queries or not args.name:
+            for n in qs:
+                print(n)
+            return 0
+        if args.name not in qs:
+            p.error("unknown query %r (see `query --list`)" % args.name)
+
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            res = qs[args.name](args.sf_dir)
+            if hasattr(res, "write_parquet"):           # ray.data.Dataset
+                if args.out:
+                    res.write_parquet(args.out)
+                    print(json.dumps({"out": args.out, "ok": True}))
+                else:
+                    for row in res.take(args.limit):
+                        print(json.dumps(row, default=str))
+            else:                                        # DataFrame / Table
+                import pandas as pd
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                tbl = pa.Table.from_pandas(res) \
+                    if isinstance(res, pd.DataFrame) else res
+                if args.out:
+                    os.makedirs(args.out, exist_ok=True)
+                    pq.write_table(tbl,
+                                   os.path.join(args.out, "part-0.parquet"))
+                    print(json.dumps({"out": args.out, "ok": True}))
+                else:
+                    for row in tbl.slice(0, args.limit).to_pylist():
+                        print(json.dumps(row, default=str))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     import ray
     owns_session = not ray.is_initialized()

@@ -103,3 +103,29 @@ def test_cli_curate_extracted_equals_inline(cli_corpus, tmp_path):
     ta = pq.read_table(glob.glob(os.path.join(out_a, "*.parquet")))
     tb = pq.read_table(glob.glob(os.path.join(out_b, "*.parquet")))
     assert ta.sort_by("url").to_pydict() == tb.sort_by("url").to_pydict()
+
+
+def test_cli_query_list(capsys):
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing" in names and "dedup_minhash" in names
+    assert len(names) >= 50
+
+
+def test_cli_query_print_and_out(ray_session, tmp_path, capsys):
+    assert main(["query", "lang_counts",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and "lang" in rows[0]
+    out = str(tmp_path / "q")
+    assert main(["query", "q1_pricing", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    capsys.readouterr()
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert t.num_rows > 0
+
+
+def test_cli_query_unknown_name(capsys):
+    with pytest.raises(SystemExit):
+        main(["query", "no_such_query"])
