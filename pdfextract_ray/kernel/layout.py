@@ -157,8 +157,9 @@ def _wrap_words(words: list[str], width: float, cont_width: float,
     budget = width
     used = 0.0
     i = 0
-    words = list(words)
-    while i < len(words):
+    n = len(words)
+    copied = False  # copy-on-write: only the rare hyphenation path mutates
+    while i < n:
         w = words[i]
         w_width = len(w) * char_w
         need = w_width if not cur else w_width + space_w
@@ -174,6 +175,9 @@ def _wrap_words(words: list[str], width: float, cont_width: float,
                 fit = len(w) - 1
             head, tail = w[:fit] + "-", w[fit:]
             lines.append([head])
+            if not copied:
+                words = list(words)
+                copied = True
             words[i] = tail
             cur = []
             used = 0.0
@@ -210,9 +214,10 @@ def _emit_line(tokens: list[dict], words: list[str], x0: float, y: float,
     strictly decreases — so a row's glyphs group contiguously by line.
     The fuzzed equivalence test enforces exactly this invariant."""
     char_w = CHAR_RATIO * size
-    n_glyphs = sum(len(w) for w in words)
-    n_advances = n_glyphs + (len(words) - 1)  # spaces advance, no glyph
     content = " ".join(words)
+    # spaces advance but carry no glyph: advances == len(content) exactly
+    n_advances = len(content)
+    n_glyphs = n_advances - (len(words) - 1)
     # width of the last glyph whose content is alphanumeric (None if none)
     last_alnum = None
     for w in reversed(words):

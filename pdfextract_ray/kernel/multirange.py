@@ -24,6 +24,9 @@ class MultiRange:
         # multi_range.rb:10-27 — collect incident ranges (sharing at least
         # one endpoint-inclusive overlap), merge them with the new range,
         # append the merged range after the surviving non-incident ones.
+        if not self.ranges:
+            self.ranges.append((lo, hi))
+            return
         incident = []
         non_incident = []
         for r in self.ranges:

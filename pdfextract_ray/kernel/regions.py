@@ -84,15 +84,13 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
         return []
     line_slop_setting = settings.line_slop
 
-    # ascending-y insertion sort, ties before equals (regions.rb:58-63)
-    from bisect import bisect_left
-    chunks: list[dict] = []
-    ys: list[float] = []
-    for chunk in page_chunks:
-        y = chunk["y"]
-        i = bisect_left(ys, y)
-        chunks.insert(i, dict(chunk))
-        ys.insert(i, y)
+    # ascending-y insertion sort, ties before equals (regions.rb:58-63):
+    # sequential bisect_left insertion puts each later equal-y chunk
+    # BEFORE earlier ones, i.e. equal-y runs end up in reversed input
+    # order — exactly the stable sort by (y, -input_index), O(n log n)
+    order = sorted(range(len(page_chunks)),
+                   key=lambda i: (page_chunks[i]["y"], -i))
+    chunks: list[dict] = [dict(page_chunks[i]) for i in order]
 
     # chunks become single-line carriers (regions.rb:70-74)
     for chunk in chunks:
@@ -101,18 +99,22 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
         del chunk["content"]
 
     regions: list[dict] = []
-    compare_index = 1
-    # b (= chunks[0]) only changes on merge/flush — cache its hot fields
+    # head pointer h replaces the reference's del-from-front (regions.rb
+    # shifts the array; a pointer bump is O(1) and order-identical)
+    h = 0
+    compare_index = 1  # relative to h
+    n = len(chunks)
+    # b (= chunks[h]) only changes on merge/flush — cache its hot fields
     b = chunks[0] if chunks else None
     b_lh = b_top = b_x1 = b_x2 = b_reach = 0.0
     fresh_b = True
-    while len(chunks) > compare_index:
+    while n - h > compare_index:
         if fresh_b:
             b_lh = b["line_height"]
             b_top = b["y"] + b["height"]
             b_x1 = b["x"]
             b_x2 = b_x1 + b["width"]
-            # pruning bound: chunks[1:] stay ascending in y, and the slop
+            # pruning bound: chunks[h+1:] stay ascending in y, and the slop
             # is at most b_lh*line_slop (min(b_lh, t_h) <= b_lh) — once a
             # candidate's y exceeds this reach, no later candidate can be
             # y-incident either, so the scan's outcome is a flush.
@@ -122,12 +124,12 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
                 if line_slop_setting >= 0 else float("inf")
             fresh_b = False
 
-        t = chunks[compare_index]
+        t = chunks[h + compare_index]
         if b_reach < t["y"]:
-            regions.append(chunks[0])
-            del chunks[0]
+            regions.append(b)
+            h += 1
             compare_index = 1
-            b = chunks[0] if chunks else None
+            b = chunks[h] if h < n else None
             fresh_b = True
             continue
         t_h = t["height"]
@@ -138,28 +140,36 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
             t_x2 = t_x1 + t["width"]
             if (t_x1 <= b_x1 <= t_x2) or (t_x1 <= b_x2 <= t_x2) \
                     or (b_x1 <= t_x1 <= b_x2) or (b_x1 <= t_x2 <= b_x2):
-                b = chunks[0] = _merge_regions(t, b)
-                del chunks[compare_index]
+                b = chunks[h] = _merge_regions(t, b)
+                del chunks[h + compare_index]
+                n -= 1
                 compare_index = 1
                 fresh_b = True
                 continue
-        if compare_index < len(chunks) - 1:
+        if compare_index < n - h - 1:
             compare_index += 1
         else:
-            regions.append(chunks[0])
-            del chunks[0]
+            regions.append(b)
+            h += 1
             compare_index = 1
-            b = chunks[0] if chunks else None
+            b = chunks[h] if h < n else None
             fresh_b = True
 
-    if chunks:
-        regions.append(chunks[0])
+    if h < n:
+        regions.append(chunks[h])
 
     for region in regions:
         region.pop("_tcS", None)
         _append_line_offsets(region)
         _append_line_spacing(region)
-        region["lines"] = [spatial.drop_spatial(line) for line in region["lines"]]
+        # specialized drop_spatial: lines here carry exactly the as_line
+        # keys + offsets/spacing, so the generic key-filter dictcomp
+        # (spatial.rb:20-22) reduces to this projection — same keys, same
+        # insertion order (content, x_offset, y_offset, spacing)
+        region["lines"] = [
+            {"content": l["content"], "x_offset": l["x_offset"],
+             "y_offset": l["y_offset"], "spacing": l["spacing"]}
+            for l in region["lines"]]
 
     regions.sort(key=lambda obj: -obj["y"])  # stable, regions.rb:111
     return regions

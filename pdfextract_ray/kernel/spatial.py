@@ -73,6 +73,11 @@ def get_text_content(obj: dict) -> str:
     # spatial.rb:96-109 — THE byte-identical-text kernel.
     lines = obj.get("lines")
     if lines:
+        if len(lines) == 1:
+            # single-line fast path: identical to join+strip below (the
+            # appended trailing space is stripped anyway)
+            c = lines[0]["content"]
+            return (c[:-1] if c.endswith("-") else c).strip()
         parts = []
         for line in lines:
             c = line["content"]
