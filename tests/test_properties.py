@@ -112,6 +112,98 @@ def test_split_by_delimiter_roundtrip(bodies):
     assert [r["content"] for r in refs] == [b.strip() for b in bodies]
 
 
+def _naive_build_regions(page_chunks, settings):
+    """Literal transcription of the reference scan (regions.rb:45-113):
+    insertion sort + del-from-front + scan-to-the-end, generic
+    spatial.merge — no pruning bound, no head pointer, no cached text
+    lengths. The differential oracle for kernel.regions.build_regions."""
+    from pdfextract_ray.kernel import spatial as sp
+
+    chunks = []
+    for chunk in page_chunks:
+        c = dict(chunk)
+        i = 0
+        while i < len(chunks) and chunks[i]["y"] < c["y"]:
+            i += 1
+        chunks.insert(i, c)
+    for c in chunks:
+        c["lines"] = [sp.as_line(c)]
+        del c["content"]
+
+    regions = []
+    compare_index = 1
+    while len(chunks) > compare_index:
+        b = chunks[0]
+        t = chunks[compare_index]
+        line_slop = min(b["line_height"], t["height"]) * settings.line_slop
+        incident = False
+        lx1, lx2 = b["x"], b["x"] + b["width"]
+        rx1, rx2 = t["x"], t["x"] + t["width"]
+        if (lx1 <= rx1 <= lx2) or (lx1 <= rx2 <= lx2) \
+                or (rx1 <= lx1 <= rx2) or (rx1 <= lx2 <= rx2):
+            incident = True
+        if (b["y"] + b["height"] + line_slop) >= t["y"] and incident:
+            chunks[0] = sp.merge(t, b, lines=True)
+            del chunks[compare_index]
+            compare_index = 1
+        elif compare_index < len(chunks) - 1:
+            compare_index += 1
+        else:
+            regions.append(chunks.pop(0))
+            compare_index = 1
+    if chunks:
+        regions.append(chunks[0])
+
+    for region in regions:
+        for line in region["lines"]:
+            line["x_offset"] = line["x"] - region["x"]
+            line["y_offset"] = line["y"] - region["y"]
+        height_taken = 0.0
+        for line in region["lines"]:
+            from_top = region["height"] - (line["y_offset"] + line["height"])
+            line["spacing"] = from_top - height_taken
+            height_taken = from_top + line["height"]
+        region["lines"] = [{"content": l["content"], "x_offset": l["x_offset"],
+                            "y_offset": l["y_offset"], "spacing": l["spacing"]}
+                           for l in region["lines"]]
+    regions.sort(key=lambda o: -o["y"])
+    return regions
+
+
+_chunk_strategy = st.builds(
+    lambda gx, gy, w, h, body, hyph: {
+        # coarse grids force y-ties and x-incidence collisions
+        "x": gx * 15.0, "y": gy * 6.0, "width": w * 10.0, "height": 8.0 + h,
+        "line_height": 10.0, "font": "F", "page": 1,
+        "page_width": 612.0, "page_height": 792.0,
+        "content": body + ("-" if hyph else ""),
+    },
+    st.integers(0, 6), st.integers(0, 10), st.integers(1, 8),
+    st.floats(0, 6, allow_nan=False),
+    st.text(alphabet="abcdef gh", min_size=1, max_size=12).map(
+        lambda s: (s.strip() or "x")),
+    st.booleans(),
+)
+
+
+@given(st.lists(_chunk_strategy, min_size=0, max_size=30))
+@hsettings(max_examples=150, deadline=None)
+def test_build_regions_differential_vs_naive_reference_scan(page_chunks):
+    """The optimized build_regions (tie-aware sort, head pointer, reach
+    pruning, cached text lengths) is output-identical to the literal
+    reference algorithm on randomized chunk layouts."""
+    from pdfextract_ray.kernel.regions import build_regions
+    from pdfextract_ray.settings import DEFAULT_SETTINGS
+
+    fast = build_regions([dict(c) for c in page_chunks], DEFAULT_SETTINGS)
+    naive = _naive_build_regions([dict(c) for c in page_chunks], DEFAULT_SETTINGS)
+    assert len(fast) == len(naive)
+    for f, n in zip(fast, naive):
+        for k in ("x", "y", "width", "height", "font", "line_height", "page"):
+            assert f[k] == n[k], k
+        assert f["lines"] == n["lines"]
+
+
 def test_corpus_subset_determinism():
     """Any subset of document rows generates identical pages regardless
     of partitioning (per-row seeding)."""
