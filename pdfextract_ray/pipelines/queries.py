@@ -5,8 +5,11 @@
 (pre-registered DuckDB views: region nation customer supplier part
 orders lineitem events documents embeddings). Column names match
 exactly between both sides (the driver hashes values under sorted
-column names). Non-SQL-expressible pipelines (extraction, MinHash,
-SimHash, LSH, lang-id, media decode) have no oracle → rows-only check.
+column names). Non-SQL-expressible pipelines (extraction goldens,
+hyperplane LSH, media decode) have no oracle → rows-only check; even
+the MinHash-LSH clustering pipeline has an exact SQL mirror
+(``_DEDUP_MINHASH_SQL``: crc32 via an inlined table, wraparound
+minhash via HUGEINT, recursive-CTE components).
 
 Float columns: per-row int/int divisions are bit-identical across
 engines (same IEEE operands) and are left exact; money/value SUMS are
@@ -684,6 +687,104 @@ SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM cand WHERE hamming <= 3
     "substr(h, %d, 2)" % i for i in (15, 13, 11, 9, 7, 5, 3, 1)))
 
 
+# SQL mirror of the FULL dedup_minhash pipeline (stages/dedup.py):
+# word-3-shingle crc32 sets (crc32 is not a DuckDB builtin — inlined
+# 256-entry table folded with list_reduce, byte-exact vs zlib.crc32),
+# 64-permutation MinHash with numpy's uint64 WRAPAROUND semantics
+# replicated via HUGEINT mod 2^64, 16-band LSH bucketing (band key =
+# crc32 of the 32 little-endian signature bytes), within-bucket
+# signature-agreement estimate >= 0.5, and min-label connected
+# components as a recursive CTE. Band buckets at test scale are far
+# below the Ray path's max_bucket=50 truncation, so the pair sets are
+# identical (same caveat as the SimHash oracle).
+def _crc32_table_sql() -> str:
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if (c & 1) else (c >> 1)
+        tbl.append(c)
+    return "[" + ",".join(map(str, tbl)) + "]"
+
+
+def _perm_sql() -> tuple[str, str]:
+    from pdfextract_ray.stages.dedup import _PERM_A, _PERM_B
+    return ("[" + ",".join(str(int(a)) for a in _PERM_A) + "]",
+            "[" + ",".join(str(int(b)) for b in _PERM_B) + "]")
+
+
+def _build_dedup_minhash_sql() -> str:
+    crc_str = """xor(list_reduce(
+      list_prepend(CAST(4294967295 AS UBIGINT),
+                   list_transform(range(1, length(s)+1),
+                                  i -> CAST(ascii(s[i]) AS UBIGINT))),
+      (acc, byte) -> xor(acc >> 8, tbl[1 + CAST(xor(acc, byte) & 255 AS INTEGER)])),
+    CAST(4294967295 AS UBIGINT))"""
+    band_bytes = ("flatten(list_transform(range(0, 4), "
+                  "r -> list_transform(range(0, 8), "
+                  "j -> (sv[1 + 4*bb.b + r] >> (8*j)) & 255)))")
+    crc_bytes = ("""xor(list_reduce(
+      list_prepend(CAST(4294967295 AS UBIGINT), {bl}),
+      (acc, byte) -> xor(acc >> 8, tbl[1 + CAST(xor(acc, byte) & 255 AS INTEGER)])),
+    CAST(4294967295 AS UBIGINT))""").replace("{bl}", band_bytes)
+    a_sql, b_sql = _perm_sql()
+    return (r"""
+WITH RECURSIVE
+t(tbl) AS (SELECT {TBL}::UBIGINT[]),
+pa(a) AS (SELECT {A}::HUGEINT[]),
+pb(b) AS (SELECT {B}::HUGEINT[]),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+shg AS (
+  SELECT doc_id,
+    CASE WHEN len(words) = 0 THEN ['']
+         WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_transform(range(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+    END AS shingles
+  FROM w
+),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+h AS (SELECT DISTINCT doc_id, CAST({CRC_STR} AS HUGEINT) AS h32 FROM e, t),
+sigrow AS (
+  SELECT doc_id, i.i AS perm,
+         CAST(min(((a[1 + i.i] * h32) % 18446744073709551616 + b[1 + i.i])
+                  % 18446744073709551616 % 2305843009213693951) AS UBIGINT) AS v
+  FROM h, pa, pb, (SELECT unnest(range(64)) AS i) i
+  GROUP BY doc_id, i.i
+),
+sig AS (SELECT doc_id, list(v ORDER BY perm) AS sv FROM sigrow GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sv, bb.b AS band_id, {CRC_BYTES} AS band_hash
+  FROM sig, t, (SELECT unnest(range(16)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         len(list_filter(range(1, 65), i -> x.sv[i] = y.sv[i])) / 64.0 AS est
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+pairs AS (SELECT a, b FROM cand WHERE est >= 0.5),
+nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT edges.y, reach.label FROM reach JOIN edges ON reach.node = edges.x
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS rep_id
+FROM reach GROUP BY node ORDER BY doc_id
+""").replace("{TBL}", _crc32_table_sql()) \
+    .replace("{A}", a_sql).replace("{B}", b_sql) \
+    .replace("{CRC_STR}", crc_str).replace("{CRC_BYTES}", crc_bytes)
+
+
+_DEDUP_MINHASH_SQL = _build_dedup_minhash_sql()
+
+
 # ------------------------------------------------------------------- dedup
 
 def q_dedup_exact(sf_dir: str):
@@ -714,7 +815,10 @@ def q_dedup_minhash(sf_dir: str):
     (``stages/dedup.label_propagation_components``, union-find
     equivalence pytest-verified) → (doc_id, rep_id). No pair set ever
     lands on the driver — at web scale the pair residue of a
-    boilerplate-heavy corpus exceeds driver memory."""
+    boilerplate-heavy corpus exceeds driver memory. Oracled: the FULL
+    pipeline (crc32 shingles → wraparound minhash → banded LSH →
+    agreement-verified pairs → connected components) has an exact
+    DuckDB mirror (``_DEDUP_MINHASH_SQL``)."""
     from pdfextract_ray.stages.dedup import (label_propagation_components,
                                              minhash_bands_batch, pc_cast,
                                              shard_pairs_group)
@@ -1195,7 +1299,7 @@ def build_queries() -> dict:
     registered."""
     from pdfextract_ray.pipelines import relational as rel
     return {
-        # ---- oracled (30): hash-checked against DuckDB by the driver
+        # ---- oracled (31): hash-checked against DuckDB by the driver
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_rolling_fp": q_doc_rolling_fp,
@@ -1226,7 +1330,8 @@ def build_queries() -> dict:
         "sample_docs": rel.sample_docs,
         "union_extremes": rel.union_extremes,
         "orders_by_status": rel.orders_by_status,
-        # ---- rows-only (20): non-SQL-expressible pipelines
+        "dedup_minhash": q_dedup_minhash,
+        # ---- rows-only (19): non-SQL-expressible pipelines
         "extract_flagship": q_extract_flagship,
         "extract_exploded": q_extract_exploded,
         "extract_adaptive": q_extract_adaptive,
@@ -1240,7 +1345,6 @@ def build_queries() -> dict:
         "curate_corpus": q_curate_corpus,
         "curate_corpus_neardup": q_curate_corpus_neardup,
         "extraction_metrics": q_extraction_metrics,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1282,4 +1386,5 @@ def build_oracles() -> dict:
         "sample_docs": _SAMPLE_DOCS_SQL,
         "union_extremes": _UNION_EXTREMES_SQL,
         "orders_by_status": _ORDERS_BY_STATUS_SQL,
+        "dedup_minhash": _DEDUP_MINHASH_SQL,
     }
