@@ -713,7 +713,11 @@ def _perm_sql() -> tuple[str, str]:
             "[" + ",".join(str(int(b)) for b in _PERM_B) + "]")
 
 
-def _build_dedup_minhash_sql() -> str:
+def _minhash_cte_prefix() -> str:
+    """Shared WITH-clause prefix: documents → shingle crc32 sets (h) →
+    wraparound minhash signatures (sig) → LSH bands → candidate pairs
+    with signature-agreement estimate (cand) → pairs (est >= 0.5).
+    Used by both the dedup_minhash and dedup_minhash_verified oracles."""
     crc_str = """xor(list_reduce(
       list_prepend(CAST(4294967295 AS UBIGINT),
                    list_transform(range(1, length(s)+1),
@@ -767,8 +771,14 @@ cand AS (
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
 ),
-pairs AS (SELECT a, b FROM cand WHERE est >= 0.5),
-nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+pairs AS (SELECT a, b FROM cand WHERE est >= 0.5)
+""").replace("{TBL}", _crc32_table_sql()) \
+    .replace("{A}", a_sql).replace("{B}", b_sql) \
+    .replace("{CRC_STR}", crc_str).replace("{CRC_BYTES}", crc_bytes)
+
+
+_DEDUP_MINHASH_SQL = _minhash_cte_prefix() + r"""
+, nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
 edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
 reach(node, label) AS (
   SELECT node, node FROM nodes
@@ -777,12 +787,33 @@ reach(node, label) AS (
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS rep_id
 FROM reach GROUP BY node ORDER BY doc_id
-""").replace("{TBL}", _crc32_table_sql()) \
-    .replace("{A}", a_sql).replace("{B}", b_sql) \
-    .replace("{CRC_STR}", crc_str).replace("{CRC_BYTES}", crc_bytes)
+"""
 
-
-_DEDUP_MINHASH_SQL = _build_dedup_minhash_sql()
+# dedup_minhash_verified: same candidate pairs, verified with the EXACT
+# shingle-set Jaccard |∩|/|∪| — the h CTE already holds each doc's
+# distinct shingle crc32s, so intersection/union sizes are two joins.
+# The division is int/double of identical operands in both engines
+# (bit-identical, no grid snap needed).
+_DEDUP_MINHASH_VERIFIED_SQL = _minhash_cte_prefix() + r"""
+, na AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM pairs p
+  JOIN h ha ON ha.doc_id = p.a
+  JOIN h hb ON hb.doc_id = p.b AND hb.h32 = ha.h32
+  GROUP BY p.a, p.b
+),
+jac AS (
+  SELECT p.a, p.b,
+         COALESCE(i.ni, 0) / CAST(x.n + y.n - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN na x ON x.doc_id = p.a
+  JOIN na y ON y.doc_id = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard
+FROM jac WHERE jaccard >= 0.4 ORDER BY a, b
+"""
 
 
 # ------------------------------------------------------------------- dedup
@@ -901,7 +932,10 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
                           num_partitions=8, on=("b",), right_on=("b_key",))
 
     def verify(t: pa.Table) -> pa.Table:
-        jac = [round(ngram_jaccard(ta or "", tb or ""), 6)
+        # raw |∩|/|∪| division, NOT rounded: both engines divide the
+        # same two ints, so the IEEE result is bit-identical and the
+        # oracle hash matches without a grid snap
+        jac = [ngram_jaccard(ta or "", tb or "")
                for ta, tb in zip(t["text_a"].to_pylist(),
                                  t["text_b"].to_pylist())]
         out = pa.table({"a": t["a"], "b": t["b"],
@@ -1299,7 +1333,7 @@ def build_queries() -> dict:
     registered."""
     from pdfextract_ray.pipelines import relational as rel
     return {
-        # ---- oracled (31): hash-checked against DuckDB by the driver
+        # ---- oracled (32): hash-checked against DuckDB by the driver
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_rolling_fp": q_doc_rolling_fp,
@@ -1331,7 +1365,8 @@ def build_queries() -> dict:
         "union_extremes": rel.union_extremes,
         "orders_by_status": rel.orders_by_status,
         "dedup_minhash": q_dedup_minhash,
-        # ---- rows-only (19): non-SQL-expressible pipelines
+        "dedup_minhash_verified": q_dedup_minhash_verified,
+        # ---- rows-only (18): non-SQL-expressible pipelines
         "extract_flagship": q_extract_flagship,
         "extract_exploded": q_extract_exploded,
         "extract_adaptive": q_extract_adaptive,
@@ -1345,7 +1380,6 @@ def build_queries() -> dict:
         "curate_corpus": q_curate_corpus,
         "curate_corpus_neardup": q_curate_corpus_neardup,
         "extraction_metrics": q_extraction_metrics,
-        "dedup_minhash_verified": q_dedup_minhash_verified,
         "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
@@ -1387,4 +1421,5 @@ def build_oracles() -> dict:
         "union_extremes": _UNION_EXTREMES_SQL,
         "orders_by_status": _ORDERS_BY_STATUS_SQL,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
+        "dedup_minhash_verified": _DEDUP_MINHASH_VERIFIED_SQL,
     }
