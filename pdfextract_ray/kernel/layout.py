@@ -151,7 +151,67 @@ def parse_blocks(html: str) -> _BlockCollector:
 def _wrap_words(words: list[str], width: float, cont_width: float,
                 char_w: float, space_w: float) -> list[list[str]]:
     """Greedy wrap into lines of word strings; oversized words hyphenate
-    deterministically (split to fit, trailing '-')."""
+    deterministically (split to fit, trailing '-').
+
+    Integer char-unit fast path when ``space_w == char_w`` (every call
+    site here): the float quantities are all exact multiples of
+    ``char_w`` (char_w ∈ {k/2} and word widths are int×char_w, both
+    exactly representable), so ``used + need <= budget`` ⟺
+    ``chars_used + chars_need <= floor(budget/char_w)`` — proven
+    equivalent by the differential test against the float loop."""
+    if space_w == char_w:
+        # kmax = largest k with k*char_w <= budget, robust at the float
+        # boundary (k*char_w is exact, so the <= check is exact)
+        kmax = int(width / char_w)
+        if (kmax + 1) * char_w <= width:
+            kmax += 1
+        elif kmax * char_w > width:
+            kmax -= 1
+        kmax_cont = int(cont_width / char_w)
+        if (kmax_cont + 1) * char_w <= cont_width:
+            kmax_cont += 1
+        elif kmax_cont * char_w > cont_width:
+            kmax_cont -= 1
+        lines: list[list[str]] = []
+        cur: list[str] = []
+        budget_k = kmax
+        used_k = 0
+        i = 0
+        n = len(words)
+        copied = False
+        while i < n:
+            w = words[i]
+            need = len(w) + (1 if cur else 0)
+            if used_k + need <= budget_k:
+                cur.append(w)
+                used_k += need
+                i += 1
+            elif not cur:
+                fit = max(1, budget_k - used_k - 1)
+                if fit >= len(w):
+                    fit = len(w) - 1
+                lines.append([w[:fit] + "-"])
+                if not copied:
+                    words = list(words)
+                    copied = True
+                words[i] = w[fit:]
+                used_k = 0
+                budget_k = kmax_cont
+            else:
+                lines.append(cur)
+                cur = []
+                used_k = 0
+                budget_k = kmax_cont
+        if cur:
+            lines.append(cur)
+        return lines
+    return _wrap_words_float(words, width, cont_width, char_w, space_w)
+
+
+def _wrap_words_float(words: list[str], width: float, cont_width: float,
+                      char_w: float, space_w: float) -> list[list[str]]:
+    """Reference float implementation (kept as the differential oracle
+    and the general-space_w path)."""
     lines: list[list[str]] = []
     cur: list[str] = []
     budget = width

@@ -204,6 +204,28 @@ def test_build_regions_differential_vs_naive_reference_scan(page_chunks):
         assert f["lines"] == n["lines"]
 
 
+@given(st.lists(st.text(alphabet="abcdefghij", min_size=1, max_size=140),
+                min_size=0, max_size=40),
+       st.sampled_from([22.0, 14.0, 12.0, 11.0, 10.0, 9.0, 8.0]),
+       st.sampled_from([1, 2, 3]),
+       st.booleans())
+@hsettings(max_examples=200, deadline=None)
+def test_wrap_words_int_fastpath_equals_float_loop(words, size, ncols, hang):
+    """The integer char-unit wrap (space_w == char_w) is output-identical
+    to the reference float loop for every (font size, column count,
+    indent) combination the layout emits — including the oversized-word
+    hyphenation path (140-char words overflow every column width)."""
+    from pdfextract_ray.kernel.layout import (CONTENT_X0, CONTENT_X1,
+                                              COLUMN_GUTTER, HANG_INDENT,
+                                              CHAR_RATIO, _wrap_words,
+                                              _wrap_words_float)
+    char_w = CHAR_RATIO * size
+    col_w = (CONTENT_X1 - CONTENT_X0 - COLUMN_GUTTER * (ncols - 1)) / ncols
+    cont_w = col_w - (HANG_INDENT if hang else 0.0)
+    assert _wrap_words(list(words), col_w, cont_w, char_w, char_w) == \
+        _wrap_words_float(list(words), col_w, cont_w, char_w, char_w)
+
+
 def test_corpus_subset_determinism():
     """Any subset of document rows generates identical pages regardless
     of partitioning (per-row seeding)."""
