@@ -84,11 +84,16 @@ def explode_batch(batch: pa.Table) -> pa.Table:
     as a typed ``list<struct>`` (a document with no pages emits one
     marker row with a NULL lines list so it still reaches reassembly).
 
+    ``n_pages_total`` carries the document's page count on every page
+    row so any later stage can decide locally whether it holds ALL of a
+    document's pages (the batch-local assembly fast path in
+    :class:`PageWorker`) without a shuffle.
+
     ``url_shard`` groups ~NUM_URL_SHARDS Ray-level reassembly groups
     instead of one per url — same rationale as the LSH shard key: Ray's
     per-group overhead dwarfs the work for millions of small groups;
     the per-url grouping happens vectorized inside the shard group."""
-    urls, langs, pages, payloads, shards = [], [], [], [], []
+    urls, langs, pages, totals, payloads, shards = [], [], [], [], [], []
     for url, lang, html in zip(batch["url"].to_pylist(),
                                batch["lang"].to_pylist(),
                                batch["html"].to_pylist()):
@@ -98,6 +103,7 @@ def explode_batch(batch: pa.Table) -> pa.Table:
             urls.append(url)
             langs.append(lang)
             pages.append(0)
+            totals.append(0)
             payloads.append(None)
             shards.append(shard)
             continue
@@ -105,6 +111,7 @@ def explode_batch(batch: pa.Table) -> pa.Table:
             urls.append(url)
             langs.append(lang)
             pages.append(page_no)
+            totals.append(len(page_map))
             payloads.append(lines)
             shards.append(shard)
     return pa.table({
@@ -112,48 +119,98 @@ def explode_batch(batch: pa.Table) -> pa.Table:
         "url": pa.array(urls, pa.string()),
         "lang": pa.array(langs, pa.string()),
         "page": pa.array(pages, pa.int32()),
+        "n_pages_total": pa.array(totals, pa.int32()),
         "lines": pa.array(payloads, pa.list_(LAYOUT_LINE_T)),
     })
 
 
+WORKER_SCHEMA = pa.schema([
+    ("url_shard", pa.int32()), ("url", pa.string()),
+    ("lang", pa.string()), ("page", pa.int32()),
+    ("assembled", pa.bool_()),
+    # page-residue payload (assembled == false)
+    ("n_glyphs", pa.int64()), ("n_chunks", pa.int64()),
+    ("regions", pa.list_(REGION_T)), ("columns", pa.list_(COLUMN_T)),
+    ("zones", pa.list_(ZONE_T)), ("text_parts", pa.list_(pa.string())),
+    # finished-document payload (assembled == true)
+    ("title", pa.string()), ("text", pa.string()),
+    ("references", REF_TYPE),
+    ("n_pages", pa.int64()), ("n_tokens", pa.int64()),
+    ("n_refs", pa.int64()),
+])
+
+
 class PageWorker:
-    """Actor-pool per-page stage: typed line rows in → typed page
-    results (regions/columns/zones/text parts) out."""
+    """Actor-pool per-page stage with a batch-local assembly combiner.
+
+    Typed line rows in; out is a UNION of finished documents and
+    residual page rows (``assembled`` flag discriminates):
+
+    - a url whose pages ALL sit in this batch (checked against the
+      carried ``n_pages_total`` — no global knowledge needed) is
+      assembled HERE: per-page stages then the document-scoped stages,
+      emitting one finished row. This is the common case (explode keeps
+      a document's pages contiguous, so a small doc straddles a batch
+      boundary only when it happens to sit on one).
+    - pages of documents that straddle batch/block/task boundaries —
+      including every mega-document, the reason this pipeline exists —
+      are emitted as typed page-result rows for the reassembly shuffle.
+
+    Scale effect: the downstream all-to-all moves final document rows
+    (title/text/references) plus a boundary residue of page payloads,
+    instead of EVERY page's regions/zones/text-parts (several times the
+    final text size). Group work in the reduce collapses to a
+    pass-through for finished rows."""
 
     def __init__(self, settings: Settings | None = None) -> None:
         self.settings = settings or DEFAULT_SETTINGS
+        self.gazetteer = load_gazetteer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_glyphs, n_chunks = [], []
-        regions, columns, zones, text_parts = [], [], [], []
-        for lines in batch["lines"].to_pylist():
-            if lines is None:
-                n_glyphs.append(None)
-                n_chunks.append(None)
-                regions.append(None)
-                columns.append(None)
-                zones.append(None)
-                text_parts.append(None)
+        cols: dict[str, list] = {name: [] for name in WORKER_SCHEMA.names}
+
+        def emit(**kw) -> None:
+            for name in WORKER_SCHEMA.names:
+                cols[name].append(kw.get(name))
+
+        # group the batch's rows by url in first-seen order
+        by_url: dict[str, list[int]] = {}
+        urls = batch["url"].to_pylist()
+        for i, url in enumerate(urls):
+            by_url.setdefault(url, []).append(i)
+        shards = batch["url_shard"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        pages = batch["page"].to_pylist()
+        totals = batch["n_pages_total"].to_pylist()
+        lines_col = batch["lines"].to_pylist()
+
+        for url, idxs in by_url.items():
+            i0 = idxs[0]
+            results = [(pages[i], process_page(lines_col[i], self.settings))
+                       for i in idxs if lines_col[i] is not None]
+            if len(results) == totals[i0]:
+                # every page is local: run document-scoped stages now
+                results.sort(key=lambda pr: pr[0])
+                res = assemble_document([pr for _, pr in results],
+                                        self.settings, self.gazetteer)
+                emit(url_shard=shards[i0], url=url, lang=langs[i0],
+                     assembled=True, title=res.title, text=res.text,
+                     references=[{"content": r["content"], "order": r.get("order")}
+                                 for r in res.references],
+                     n_pages=res.n_pages, n_tokens=res.n_tokens,
+                     n_refs=len(res.references))
                 continue
-            pr = process_page(lines, self.settings)
-            n_glyphs.append(pr["n_glyphs"])
-            n_chunks.append(pr["n_chunks"])
-            regions.append(pr["regions"])
-            columns.append(pr["columns"])
-            zones.append(pr["zones"])
-            text_parts.append(pr["text_parts"])
-        return pa.table({
-            "url_shard": batch["url_shard"],
-            "url": batch["url"],
-            "lang": batch["lang"],
-            "page": batch["page"],
-            "n_glyphs": pa.array(n_glyphs, pa.int64()),
-            "n_chunks": pa.array(n_chunks, pa.int64()),
-            "regions": pa.array(regions, pa.list_(REGION_T)),
-            "columns": pa.array(columns, pa.list_(COLUMN_T)),
-            "zones": pa.array(zones, pa.list_(ZONE_T)),
-            "text_parts": pa.array(text_parts, pa.list_(pa.string())),
-        })
+            # a no-pages marker url always assembles above (0 == 0), so
+            # residue rows are real pages only
+            for i, (page_no, pr) in zip(
+                    (i for i in idxs if lines_col[i] is not None), results):
+                emit(url_shard=shards[i], url=url, lang=langs[i],
+                     page=page_no, assembled=False,
+                     n_glyphs=pr["n_glyphs"], n_chunks=pr["n_chunks"],
+                     regions=pr["regions"], columns=pr["columns"],
+                     zones=pr["zones"], text_parts=pr["text_parts"])
+        return pa.table({name: pa.array(cols[name], WORKER_SCHEMA.field(name).type)
+                         for name in WORKER_SCHEMA.names})
 
 
 _GAZETTEER: dict | None = None
@@ -178,29 +235,44 @@ ASSEMBLE_SCHEMA = pa.schema([
 
 
 def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> pa.Table:
-    """Reassemble every document of one url shard (groupby(url_shard)
-    group; per-url grouping happens here in pandas). Returns a TYPED
+    """Reassemble one url shard (groupby(url_shard) group; per-url
+    grouping happens here in pandas). Rows the :class:`PageWorker`
+    already assembled pass straight through; only the boundary/mega-doc
+    page residue runs the document-scoped stages here. Returns a TYPED
     Arrow table — pandas inference would type an all-empty
     ``references`` block as ``list<null>``, which cannot unify with
     ``list<struct>`` blocks at write time."""
     if not len(df):  # typed empty: Ray may call map_groups on empty blocks
         return ASSEMBLE_SCHEMA.empty_table()
-    gaz = _gazetteer()
     rows: dict[str, list] = {"url": [], "lang": [], "title": [], "text": [],
                              "references": [], "n_pages": [], "n_tokens": [],
                              "n_refs": []}
-    for url, g in df.groupby("url", sort=True):
+    done = df[df["assembled"]]
+    for url, lang, title, text, refs, np_, nt, nr in zip(
+            done["url"], done["lang"], done["title"], done["text"],
+            done["references"], done["n_pages"], done["n_tokens"],
+            done["n_refs"]):
+        rows["url"].append(url)
+        rows["lang"].append(lang)
+        rows["title"].append(title)
+        rows["text"].append(text)
+        rows["references"].append(
+            [] if refs is None else [dict(r) for r in refs])
+        rows["n_pages"].append(int(np_))
+        rows["n_tokens"].append(int(nt))
+        rows["n_refs"].append(int(nr))
+
+    residue = df[~df["assembled"]]
+    gaz = _gazetteer() if len(residue) else None
+    for url, g in residue.groupby("url", sort=True):
         g = g.sort_values("page")
-        page_results = []
-        for ng, nc, regs, cols, zns, tp in zip(
+        page_results = [
+            {"n_glyphs": int(ng), "n_chunks": int(nc),
+             "regions": _to_dicts(regs), "columns": _to_dicts(cols),
+             "zones": _to_dicts(zns), "text_parts": list(tp)}
+            for ng, nc, regs, cols, zns, tp in zip(
                 g["n_glyphs"], g["n_chunks"], g["regions"], g["columns"],
-                g["zones"], g["text_parts"]):
-            if ng is None or (isinstance(ng, float) and pd.isna(ng)):
-                continue  # no-pages marker row
-            page_results.append({
-                "n_glyphs": int(ng), "n_chunks": int(nc),
-                "regions": _to_dicts(regs), "columns": _to_dicts(cols),
-                "zones": _to_dicts(zns), "text_parts": list(tp)})
+                g["zones"], g["text_parts"])]
         res = assemble_document(page_results, settings, gaz)
         rows["url"].append(url)
         rows["lang"].append(g["lang"].iloc[0])
@@ -234,7 +306,8 @@ def _to_dicts(objs) -> list[dict]:
 
 def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
                      concurrency: int | tuple | None = None,
-                     shuffle_partitions: int | None = None):
+                     shuffle_partitions: int | None = None,
+                     page_batch_size: int = 64):
     """Attach the exploded pipeline to a corpus Dataset.
 
     ``shuffle_partitions`` coalesces the page-result blocks before the
@@ -242,7 +315,12 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
     block count, and Arrow ``take`` on nested ``list<struct>`` columns
     is row-wise — fewer, larger blocks cut the shuffle wall time ~3x
     (measured 23s → 8s at sf0.1/32cpu). Default: one partition per
-    CPU-pool slot, min 8."""
+    CPU-pool slot, min 8.
+
+    ``page_batch_size`` bounds a PageWorker batch in pages; it is also
+    the local-assembly window — documents no larger than a batch
+    usually finish inside the worker and skip the shuffle entirely
+    (tests shrink it to force the residue path)."""
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
@@ -252,7 +330,7 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
         shuffle_partitions = max(8, ncpu // 4)
     pages = ds.map_batches(explode_batch, batch_format="pyarrow")
     processed = pages.map_batches(
-        PageWorker, batch_format="pyarrow", batch_size=64,
+        PageWorker, batch_format="pyarrow", batch_size=page_batch_size,
         fn_constructor_kwargs=dict(settings=settings),
         concurrency=concurrency, num_cpus=1,
     )

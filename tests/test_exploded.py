@@ -34,6 +34,28 @@ def test_exploded_equals_fused(ray_session, corpus_path):
                [(r["content"], r["order"]) for r in b]
 
 
+def test_exploded_residue_path_equals_fused(ray_session, corpus_path):
+    """Force documents to straddle PageWorker batches (batch of 2 pages)
+    so the reassembly-shuffle residue path — not the batch-local
+    assembly fast path — produces most documents, and verify it still
+    equals the fused pipeline byte-for-byte."""
+    from pdfextract_ray.pipelines.exploded import extract_exploded
+    from pdfextract_ray.pipelines.extract_pipeline import (extract_dataset,
+                                                           read_corpus)
+    fused = extract_dataset(read_corpus(corpus_path), concurrency=2,
+                            skew_threshold=None).to_pandas()
+    expl = extract_exploded(read_corpus(corpus_path), concurrency=2,
+                            page_batch_size=2).to_pandas()
+    fused = fused.sort_values("url").reset_index(drop=True)
+    expl = expl.sort_values("url").reset_index(drop=True)
+    assert list(fused["url"]) == list(expl["url"])
+    assert list(fused["text"]) == list(expl["text"])
+    assert list(fused["n_pages"]) == list(expl["n_pages"])
+    for a, b in zip(fused["references"], expl["references"]):
+        assert [(r["content"], r["order"]) for r in a] == \
+               [(r["content"], r["order"]) for r in b]
+
+
 def test_exploded_handles_empty_and_null_html(ray_session):
     import pyarrow as pa
     import ray.data
