@@ -5,32 +5,46 @@ hundreds of MB) even a singleton batch stalls one actor for the whole
 document. This variant parallelizes WITHIN documents
 (SURVEY.md §4.2 "Stragglers / skew"):
 
-    corpus → map_batches(tokenize+explode)   # one row per (url, page)
-           → map_batches(PageWorker)         # per-page stages in parallel
-           → groupby("url_shard").map_groups(assemble)  # reassembly shuffle
+    corpus → map_batches(ExplodeAssemble)    # finished docs + mega-doc pages
+           → map_batches(process_residue)    # mega-doc pages in parallel
+           → groupby("url_shard").map_groups(assemble)  # residue reassembly
            → extraction rows
 
-Payloads are ARROW-NATIVE ``list<struct>`` columns end-to-end (typed
-line rows into the page worker; typed region/zone/column/text-part
-rows out of it) — zero-copy through the object store and the
-reassembly shuffle, no opaque pickle blobs. The page/region dicts the
-kernel consumes are rebuilt at the consuming stage boundary with
+The first stage routes per document, IN-PROCESS (one read, no branch
+datasets): a document with at most ``page_threshold`` pages runs the
+full fused kernel chain right there — tokenize → per-page stages →
+document stages stay on Python dicts, no serialization round-trip —
+and emits one finished row. Only documents LARGER than the threshold
+(the reason this pipeline exists) emit one row per page carrying that
+page's lines as a typed Arrow ``list<struct>`` payload, so the page
+stages fan out across the pool and the reassembly shuffle stitches
+them back in page order. Measured: Arrow⇄dict conversion of line/page
+payloads costs more than the page kernel itself (0.50s vs 0.31s per
+200 sf0.01 docs), so paying it only for oversized documents makes the
+normal-corpus exploded cost ≈ the fused pipeline, while a mega-doc
+corpus gets the page-parallel path unchanged.
+
+Residue payloads are ARROW-NATIVE ``list<struct>`` columns (typed line
+rows into the page stage; typed region/zone/column/text-part rows out
+of it) — zero-copy through the object store and the reassembly
+shuffle, no opaque pickle blobs. The page/region dicts the kernel
+consumes are rebuilt at the consuming stage boundary with
 ``to_pylist`` (field sets verified exhaustively regular in tests).
 
 The reassembly sorts by page inside the group, so the output is
 byte-identical to the fused single-pass pipeline (property-tested:
-explode/reassemble roundtrip, FIXTURES.md §5).
+explode/reassemble roundtrip, FIXTURES.md §5; tests force
+``page_threshold=0`` to push every document through the residue path).
 
-Cost: one all-to-all shuffle keyed by url. Use the fused
-``extract_pipeline`` by default; switch to this when the corpus has
-mega-documents (or route only oversized rows here and union).
+Cost: one all-to-all shuffle keyed by url over finished rows plus
+mega-doc page results; with a realistic threshold the moved bytes are
+≈ the output itself, not the per-page intermediates.
 """
 
 from __future__ import annotations
 
 import zlib
 
-import pandas as pd
 import pyarrow as pa
 
 from pdfextract_ray.kernel.document import (assemble_document, layout_pages,
@@ -79,56 +93,16 @@ ZONE_T = pa.struct([
 ])
 
 
-def explode_batch(batch: pa.Table) -> pa.Table:
-    """corpus rows → one row per (url, page) carrying that page's lines
-    as a typed ``list<struct>`` (a document with no pages emits one
-    marker row with a NULL lines list so it still reaches reassembly).
-
-    ``n_pages_total`` carries the document's page count on every page
-    row so any later stage can decide locally whether it holds ALL of a
-    document's pages (the batch-local assembly fast path in
-    :class:`PageWorker`) without a shuffle.
-
-    ``url_shard`` groups ~NUM_URL_SHARDS Ray-level reassembly groups
-    instead of one per url — same rationale as the LSH shard key: Ray's
-    per-group overhead dwarfs the work for millions of small groups;
-    the per-url grouping happens vectorized inside the shard group."""
-    urls, langs, pages, totals, payloads, shards = [], [], [], [], [], []
-    for url, lang, html in zip(batch["url"].to_pylist(),
-                               batch["lang"].to_pylist(),
-                               batch["html"].to_pylist()):
-        page_map = layout_pages(html if html is not None else b"")
-        shard = zlib.crc32(url.encode("utf-8")) % NUM_URL_SHARDS
-        if not page_map:
-            urls.append(url)
-            langs.append(lang)
-            pages.append(0)
-            totals.append(0)
-            payloads.append(None)
-            shards.append(shard)
-            continue
-        for page_no, lines in page_map.items():
-            urls.append(url)
-            langs.append(lang)
-            pages.append(page_no)
-            totals.append(len(page_map))
-            payloads.append(lines)
-            shards.append(shard)
-    return pa.table({
-        "url_shard": pa.array(shards, pa.int32()),
-        "url": pa.array(urls, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-        "page": pa.array(pages, pa.int32()),
-        "n_pages_total": pa.array(totals, pa.int32()),
-        "lines": pa.array(payloads, pa.list_(LAYOUT_LINE_T)),
-    })
-
-
+# union schema of the two first-stage outputs (``assembled``
+# discriminates): finished-document rows, and mega-doc page rows whose
+# ``lines`` payload the residue stage turns into page results
 WORKER_SCHEMA = pa.schema([
     ("url_shard", pa.int32()), ("url", pa.string()),
     ("lang", pa.string()), ("page", pa.int32()),
     ("assembled", pa.bool_()),
-    # page-residue payload (assembled == false)
+    # raw mega-doc page payload (assembled == false, first stage only)
+    ("lines", pa.list_(LAYOUT_LINE_T)),
+    # page-result payload (assembled == false, after process_residue_pages)
     ("n_glyphs", pa.int64()), ("n_chunks", pa.int64()),
     ("regions", pa.list_(REGION_T)), ("columns", pa.list_(COLUMN_T)),
     ("zones", pa.list_(ZONE_T)), ("text_parts", pa.list_(pa.string())),
@@ -140,31 +114,22 @@ WORKER_SCHEMA = pa.schema([
 ])
 
 
-class PageWorker:
-    """Actor-pool per-page stage with a batch-local assembly combiner.
+class ExplodeAssemble:
+    """Actor-pool first stage: per-document in-process router.
 
-    Typed line rows in; out is a UNION of finished documents and
-    residual page rows (``assembled`` flag discriminates):
+    Documents with at most ``page_threshold`` pages run the entire
+    fused kernel chain here (tokenize → per-page → document stages, all
+    on Python dicts — no Arrow round-trip) and emit one finished row.
+    Oversized documents emit one row per page carrying the page's lines
+    as a typed ``list<struct>``, to be processed page-parallel
+    downstream. ``page_threshold=0`` forces everything through the
+    page-parallel path (tests use this)."""
 
-    - a url whose pages ALL sit in this batch (checked against the
-      carried ``n_pages_total`` — no global knowledge needed) is
-      assembled HERE: per-page stages then the document-scoped stages,
-      emitting one finished row. This is the common case (explode keeps
-      a document's pages contiguous, so a small doc straddles a batch
-      boundary only when it happens to sit on one).
-    - pages of documents that straddle batch/block/task boundaries —
-      including every mega-document, the reason this pipeline exists —
-      are emitted as typed page-result rows for the reassembly shuffle.
-
-    Scale effect: the downstream all-to-all moves final document rows
-    (title/text/references) plus a boundary residue of page payloads,
-    instead of EVERY page's regions/zones/text-parts (several times the
-    final text size). Group work in the reduce collapses to a
-    pass-through for finished rows."""
-
-    def __init__(self, settings: Settings | None = None) -> None:
+    def __init__(self, settings: Settings | None = None,
+                 page_threshold: int = 64) -> None:
         self.settings = settings or DEFAULT_SETTINGS
         self.gazetteer = load_gazetteer()
+        self.page_threshold = page_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name in WORKER_SCHEMA.names}
@@ -173,44 +138,61 @@ class PageWorker:
             for name in WORKER_SCHEMA.names:
                 cols[name].append(kw.get(name))
 
-        # group the batch's rows by url in first-seen order
-        by_url: dict[str, list[int]] = {}
-        urls = batch["url"].to_pylist()
-        for i, url in enumerate(urls):
-            by_url.setdefault(url, []).append(i)
-        shards = batch["url_shard"].to_pylist()
-        langs = batch["lang"].to_pylist()
-        pages = batch["page"].to_pylist()
-        totals = batch["n_pages_total"].to_pylist()
-        lines_col = batch["lines"].to_pylist()
-
-        for url, idxs in by_url.items():
-            i0 = idxs[0]
-            results = [(pages[i], process_page(lines_col[i], self.settings))
-                       for i in idxs if lines_col[i] is not None]
-            if len(results) == totals[i0]:
-                # every page is local: run document-scoped stages now
-                results.sort(key=lambda pr: pr[0])
-                res = assemble_document([pr for _, pr in results],
-                                        self.settings, self.gazetteer)
-                emit(url_shard=shards[i0], url=url, lang=langs[i0],
-                     assembled=True, title=res.title, text=res.text,
+        for url, lang, html in zip(batch["url"].to_pylist(),
+                                   batch["lang"].to_pylist(),
+                                   batch["html"].to_pylist()):
+            page_map = layout_pages(html if html is not None else b"")
+            shard = zlib.crc32(url.encode("utf-8")) % NUM_URL_SHARDS
+            if len(page_map) <= self.page_threshold:
+                res = assemble_document(
+                    [process_page(pl, self.settings) for pl in page_map.values()],
+                    self.settings, self.gazetteer)
+                emit(url_shard=shard, url=url, lang=lang, assembled=True,
+                     title=res.title, text=res.text,
                      references=[{"content": r["content"], "order": r.get("order")}
                                  for r in res.references],
                      n_pages=res.n_pages, n_tokens=res.n_tokens,
                      n_refs=len(res.references))
                 continue
-            # a no-pages marker url always assembles above (0 == 0), so
-            # residue rows are real pages only
-            for i, (page_no, pr) in zip(
-                    (i for i in idxs if lines_col[i] is not None), results):
-                emit(url_shard=shards[i], url=url, lang=langs[i],
-                     page=page_no, assembled=False,
-                     n_glyphs=pr["n_glyphs"], n_chunks=pr["n_chunks"],
-                     regions=pr["regions"], columns=pr["columns"],
-                     zones=pr["zones"], text_parts=pr["text_parts"])
+            for page_no, lines in page_map.items():
+                emit(url_shard=shard, url=url, lang=lang, page=page_no,
+                     assembled=False, lines=lines)
         return pa.table({name: pa.array(cols[name], WORKER_SCHEMA.field(name).type)
                          for name in WORKER_SCHEMA.names})
+
+
+def process_residue_pages(batch: pa.Table,
+                          settings: Settings = DEFAULT_SETTINGS) -> pa.Table:
+    """Stateless task stage: run the per-page kernel on mega-doc page
+    rows; finished-document rows pass through zero-copy untouched."""
+    import pyarrow.compute as pc
+
+    mask = batch["assembled"]
+    done = batch.filter(mask).drop_columns(["lines"])
+    todo = batch.filter(pc.invert(mask))
+    if not todo.num_rows:  # the lines payload ends here either way
+        return done
+    n_glyphs, n_chunks = [], []
+    regions, columns, zones, text_parts = [], [], [], []
+    for lines in todo["lines"].to_pylist():
+        pr = process_page(lines, settings)
+        n_glyphs.append(pr["n_glyphs"])
+        n_chunks.append(pr["n_chunks"])
+        regions.append(pr["regions"])
+        columns.append(pr["columns"])
+        zones.append(pr["zones"])
+        text_parts.append(pr["text_parts"])
+    built = {
+        "n_glyphs": pa.array(n_glyphs, pa.int64()),
+        "n_chunks": pa.array(n_chunks, pa.int64()),
+        "regions": pa.array(regions, pa.list_(REGION_T)),
+        "columns": pa.array(columns, pa.list_(COLUMN_T)),
+        "zones": pa.array(zones, pa.list_(ZONE_T)),
+        "text_parts": pa.array(text_parts, pa.list_(pa.string())),
+    }
+    todo = pa.table({name: built.get(name, todo[name])
+                     for name in done.schema.names})
+    return pa.concat_tables([done, todo]) if done.num_rows else todo
 
 
 _GAZETTEER: dict | None = None
@@ -234,48 +216,44 @@ ASSEMBLE_SCHEMA = pa.schema([
 ])
 
 
-def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> pa.Table:
-    """Reassemble one url shard (groupby(url_shard) group; per-url
-    grouping happens here in pandas). Rows the :class:`PageWorker`
-    already assembled pass straight through; only the boundary/mega-doc
-    page residue runs the document-scoped stages here. Returns a TYPED
-    Arrow table — pandas inference would type an all-empty
-    ``references`` block as ``list<null>``, which cannot unify with
-    ``list<struct>`` blocks at write time."""
-    if not len(df):  # typed empty: Ray may call map_groups on empty blocks
+def assemble_group(t: pa.Table, settings: Settings = DEFAULT_SETTINGS) -> pa.Table:
+    """Reassemble one url shard (groupby(url_shard) group, consumed as
+    ARROW — finished rows from :class:`ExplodeAssemble` pass through as
+    a zero-copy filter+projection, never touching pandas/Python). Only
+    the mega-doc page residue is converted to Python dicts and run
+    through the document-scoped stages here. Returns a TYPED table —
+    inference would type an all-empty ``references`` block as
+    ``list<null>``, which cannot unify with ``list<struct>`` blocks at
+    write time."""
+    import pyarrow.compute as pc
+
+    if not t.num_rows:  # typed empty: Ray may call map_groups on empty blocks
         return ASSEMBLE_SCHEMA.empty_table()
+    mask = t["assembled"]
+    done = t.filter(mask).select(ASSEMBLE_SCHEMA.names)
+    residue = t.filter(pc.invert(mask))
+    if not residue.num_rows:
+        return done
+
+    gaz = _gazetteer()
     rows: dict[str, list] = {"url": [], "lang": [], "title": [], "text": [],
                              "references": [], "n_pages": [], "n_tokens": [],
                              "n_refs": []}
-    done = df[df["assembled"]]
-    for url, lang, title, text, refs, np_, nt, nr in zip(
-            done["url"], done["lang"], done["title"], done["text"],
-            done["references"], done["n_pages"], done["n_tokens"],
-            done["n_refs"]):
-        rows["url"].append(url)
-        rows["lang"].append(lang)
-        rows["title"].append(title)
-        rows["text"].append(text)
-        rows["references"].append(
-            [] if refs is None else [dict(r) for r in refs])
-        rows["n_pages"].append(int(np_))
-        rows["n_tokens"].append(int(nt))
-        rows["n_refs"].append(int(nr))
-
-    residue = df[~df["assembled"]]
-    gaz = _gazetteer() if len(residue) else None
-    for url, g in residue.groupby("url", sort=True):
-        g = g.sort_values("page")
+    by_url: dict[str, list[dict]] = {}
+    langs: dict[str, str] = {}
+    for r in residue.to_pylist():
+        by_url.setdefault(r["url"], []).append(r)
+        langs[r["url"]] = r["lang"]
+    for url in sorted(by_url):
+        pages = sorted(by_url[url], key=lambda r: r["page"])
         page_results = [
-            {"n_glyphs": int(ng), "n_chunks": int(nc),
-             "regions": _to_dicts(regs), "columns": _to_dicts(cols),
-             "zones": _to_dicts(zns), "text_parts": list(tp)}
-            for ng, nc, regs, cols, zns, tp in zip(
-                g["n_glyphs"], g["n_chunks"], g["regions"], g["columns"],
-                g["zones"], g["text_parts"])]
+            {"n_glyphs": r["n_glyphs"], "n_chunks": r["n_chunks"],
+             "regions": r["regions"] or [], "columns": r["columns"] or [],
+             "zones": r["zones"] or [], "text_parts": r["text_parts"] or []}
+            for r in pages]
         res = assemble_document(page_results, settings, gaz)
         rows["url"].append(url)
-        rows["lang"].append(g["lang"].iloc[0])
+        rows["lang"].append(langs[url])
         rows["title"].append(res.title)
         rows["text"].append(res.text)
         rows["references"].append([{"content": r["content"], "order": r.get("order")}
@@ -283,44 +261,42 @@ def assemble_group(df: pd.DataFrame, settings: Settings = DEFAULT_SETTINGS) -> p
         rows["n_pages"].append(res.n_pages)
         rows["n_tokens"].append(res.n_tokens)
         rows["n_refs"].append(len(res.references))
-    return pa.table(
+    built = pa.table(
         {name: pa.array(rows[name], ASSEMBLE_SCHEMA.field(name).type)
          for name in ASSEMBLE_SCHEMA.names})
-
-
-def _to_dicts(objs) -> list[dict]:
-    """Normalize a struct-list cell (the Arrow→pandas round-trip
-    surfaces numpy arrays for list values) to plain list-of-dict with
-    plain-list nested 'lines' — the kernel relies on list/dict
-    semantics (truthiness, extend)."""
-    if objs is None:
-        return []
-    out = []
-    for o in objs:
-        d = dict(o)
-        if "lines" in d and d["lines"] is not None:
-            d["lines"] = [dict(l) for l in d["lines"]]
-        out.append(d)
-    return out
+    return pa.concat_tables([done, built]) if done.num_rows else built
 
 
 def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
                      concurrency: int | tuple | None = None,
                      shuffle_partitions: int | None = None,
-                     page_batch_size: int = 64):
+                     page_batch_size: int = 64,
+                     page_threshold: int = 64):
     """Attach the exploded pipeline to a corpus Dataset.
 
-    ``shuffle_partitions`` coalesces the page-result blocks before the
-    reassembly groupby: the range sort's task count is quadratic in
-    block count, and Arrow ``take`` on nested ``list<struct>`` columns
-    is row-wise — fewer, larger blocks cut the shuffle wall time ~3x
-    (measured 23s → 8s at sf0.1/32cpu). Default: one partition per
-    CPU-pool slot, min 8.
+    ``page_threshold``: documents with at most this many pages are
+    extracted entirely inside the first stage (fused kernel chain, no
+    Arrow round-trip, no shuffle participation); larger documents
+    explode into per-page rows for the page-parallel path. 0 forces
+    every document through the page-parallel path (tests use this).
 
-    ``page_batch_size`` bounds a PageWorker batch in pages; it is also
-    the local-assembly window — documents no larger than a batch
-    usually finish inside the worker and skip the shuffle entirely
-    (tests shrink it to force the residue path)."""
+    ``shuffle_partitions`` coalesces blocks before the reassembly
+    groupby: the range sort's map×reduce object count is quadratic in
+    block count (with heavy page payloads this was worth 3x, 23s → 8s
+    at sf0.1/32cpu; with the light post-routing payload 8 vs 32 is
+    within host noise). Default: one partition per CPU-pool slot,
+    min 8.
+
+    ``page_batch_size`` bounds a residue page batch in pages.
+
+    Steady-state cost vs the fused pipeline (sf0.1/32cpu, measured):
+    kernel CPU is 1.0x (242 CPU-s vs fused's ~240 — the in-stage
+    router removed the Arrow⇄dict line-payload round-trip, which
+    alone cost ~0.7x of kernel time), and the remaining wall gap
+    (~1.4-1.6x) is the two all-to-all barriers moving the OUTPUT rows.
+    Corpora with a size column should use
+    :func:`extract_adaptive_pushdown`, which routes at the scanner and
+    shuffles only true mega-doc pages."""
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
@@ -328,15 +304,19 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
         concurrency = (n, n)
     if shuffle_partitions is None:
         shuffle_partitions = max(8, ncpu // 4)
-    pages = ds.map_batches(explode_batch, batch_format="pyarrow")
-    processed = pages.map_batches(
-        PageWorker, batch_format="pyarrow", batch_size=page_batch_size,
-        fn_constructor_kwargs=dict(settings=settings),
+    routed = ds.map_batches(
+        ExplodeAssemble, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(settings=settings,
+                                   page_threshold=page_threshold),
         concurrency=concurrency, num_cpus=1,
+    )
+    processed = routed.map_batches(
+        process_residue_pages, batch_format="pyarrow",
+        batch_size=page_batch_size, fn_kwargs=dict(settings=settings),
     )
     return processed.repartition(shuffle_partitions) \
         .groupby("url_shard").map_groups(
-            assemble_group, batch_format="pandas",
+            assemble_group, batch_format="pyarrow",
             fn_kwargs=dict(settings=settings),
     )
 

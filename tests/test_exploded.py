@@ -35,17 +35,17 @@ def test_exploded_equals_fused(ray_session, corpus_path):
 
 
 def test_exploded_residue_path_equals_fused(ray_session, corpus_path):
-    """Force documents to straddle PageWorker batches (batch of 2 pages)
-    so the reassembly-shuffle residue path — not the batch-local
-    assembly fast path — produces most documents, and verify it still
-    equals the fused pipeline byte-for-byte."""
+    """Force every document through the page-parallel residue path
+    (page_threshold=0, tiny page batches) — not the in-stage fused
+    fast path — and verify the reassembly shuffle still reproduces the
+    fused pipeline byte-for-byte."""
     from pdfextract_ray.pipelines.exploded import extract_exploded
     from pdfextract_ray.pipelines.extract_pipeline import (extract_dataset,
                                                            read_corpus)
     fused = extract_dataset(read_corpus(corpus_path), concurrency=2,
                             skew_threshold=None).to_pandas()
     expl = extract_exploded(read_corpus(corpus_path), concurrency=2,
-                            page_batch_size=2).to_pandas()
+                            page_threshold=0, page_batch_size=2).to_pandas()
     fused = fused.sort_values("url").reset_index(drop=True)
     expl = expl.sort_values("url").reset_index(drop=True)
     assert list(fused["url"]) == list(expl["url"])
