@@ -56,6 +56,27 @@ def test_exploded_residue_path_equals_fused(ray_session, corpus_path):
                [(r["content"], r["order"]) for r in b]
 
 
+def test_exploded_mixed_threshold_equals_fused(ray_session, corpus_path):
+    """page_threshold=3 sends short docs through the in-stage fused
+    path and longer ones through the page-parallel residue path in the
+    SAME run — the mixed boundary must still equal the fused output."""
+    from pdfextract_ray.pipelines.exploded import extract_exploded
+    from pdfextract_ray.pipelines.extract_pipeline import (extract_dataset,
+                                                           read_corpus)
+    fused = extract_dataset(read_corpus(corpus_path), concurrency=2,
+                            skew_threshold=None).to_pandas()
+    thr = int(fused["n_pages"].median())  # guarantees both routes fire
+    expl = extract_exploded(read_corpus(corpus_path), concurrency=2,
+                            page_threshold=thr).to_pandas()
+    fused = fused.sort_values("url").reset_index(drop=True)
+    expl = expl.sort_values("url").reset_index(drop=True)
+    assert list(fused["url"]) == list(expl["url"])
+    assert list(fused["text"]) == list(expl["text"])
+    assert list(fused["n_pages"]) == list(expl["n_pages"])
+    # both routes must be exercised by the fixture corpus
+    assert (expl["n_pages"] <= thr).any() and (expl["n_pages"] > thr).any()
+
+
 def test_exploded_handles_empty_and_null_html(ray_session):
     import pyarrow as pa
     import ray.data
