@@ -57,26 +57,31 @@ def _tc_len(region: dict) -> int:
 def _merge_regions(t: dict, b: dict) -> dict:
     """spatial.merge(t, b, lines=True) with cached text lengths — the
     dominant-font rule (spatial.rb:63-69) needs only the LENGTHS of both
-    sides' text content, which accumulate additively over lines."""
-    blx = t["x"] if t["x"] < b["x"] else b["x"]
+    sides' text content, which accumulate additively over lines.
+
+    Mutates and returns ``b`` (the caller discards ``t`` and rebinds
+    ``b`` to the result): both sides carry the identical key set, and
+    the reference's ``{**t, **b}`` merge keeps b's values for every
+    shared key, so in-place update of b is value-identical without the
+    per-merge dict copy."""
+    if t["x"] < b["x"]:
+        blx = t["x"]
+    else:
+        blx = b["x"]
     bly = t["y"] if t["y"] < b["y"] else b["y"]
     trx = max(t["x"] + t["width"], b["x"] + b["width"])
     try_ = max(t["y"] + t["height"], b["y"] + b["height"])
 
-    so = {**t, **b}
-    so["x"] = blx
-    so["y"] = bly
-    so["width"] = trx - blx
-    so["height"] = try_ - bly
-    so["lines"] = t["lines"] + b["lines"]
-    so["_tcS"] = t["_tcS"] + b["_tcS"]
-    if _tc_len(t) > _tc_len(b):
-        so["font"] = t["font"]
-        so["line_height"] = t["line_height"]
-    else:
-        so["font"] = b["font"]
-        so["line_height"] = b["line_height"]
-    return so
+    if _tc_len(t) > _tc_len(b):  # before _tcS accumulates
+        b["font"] = t["font"]
+        b["line_height"] = t["line_height"]
+    b["x"] = blx
+    b["y"] = bly
+    b["width"] = trx - blx
+    b["height"] = try_ - bly
+    b["lines"] = t["lines"] + b["lines"]
+    b["_tcS"] = t["_tcS"] + b["_tcS"]
+    return b
 
 
 def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
