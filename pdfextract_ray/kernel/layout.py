@@ -25,6 +25,7 @@ decode via html.parser.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 PAGE_WIDTH = 612.0
@@ -38,6 +39,7 @@ FOOTER_TOKEN_Y = 16.0    # footer glyph box bottom (top 24)
 COLUMN_GUTTER = 24.0
 HANG_INDENT = 18.0
 CHAR_RATIO = 0.5         # glyph advance = CHAR_RATIO * font_size
+_ASCII_ALNUM_RE = re.compile(r"[0-9A-Za-z]")
 
 # tag → (font name, font size, line height) — the FontMetrics analogue.
 TAG_METRICS: dict[str, tuple[str, float, float]] = {
@@ -278,15 +280,10 @@ def _emit_line(tokens: list[dict], words: list[str], x0: float, y: float,
     # spaces advance but carry no glyph: advances == len(content) exactly
     n_advances = len(content)
     n_glyphs = n_advances - (len(words) - 1)
-    # width of the last glyph whose content is alphanumeric (None if none)
-    last_alnum = None
-    for w in reversed(words):
-        for ch in reversed(w):
-            if ch.isascii() and ch.isalnum():
-                last_alnum = char_w
-                break
-        if last_alnum is not None:
-            break
+    # width of the last glyph whose content is alphanumeric (None if none);
+    # every alnum glyph in a line has the same width, so only EXISTENCE
+    # matters — one C-level regex scan instead of a per-char Python loop
+    last_alnum = char_w if _ASCII_ALNUM_RE.search(content) else None
     tokens.append({
         "x": x0, "y": y, "width": n_advances * char_w, "height": size,
         "line_height": line_height, "content": content, "page": page,
