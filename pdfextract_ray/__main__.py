@@ -86,6 +86,10 @@ def main(argv=None) -> int:
         sp.add_argument("--no-resume", action="store_true")
         sp.add_argument("--exploded", action="store_true",
                         help="page-exploded variant for mega-documents")
+        sp.add_argument("--page-threshold", type=int, default=64,
+                        help="with --exploded: docs with at most this many "
+                             "pages extract fused in-stage; larger docs go "
+                             "page-parallel (default 64)")
         sp.add_argument("--adaptive", action="store_true",
                         help="size-routed hybrid: small docs fused, "
                              "oversized docs page-exploded. Parquet corpora "
@@ -247,7 +251,8 @@ def main(argv=None) -> int:
                         threshold_bytes=args.adaptive_threshold)
             elif args.exploded:
                 from pdfextract_ray.pipelines.exploded import extract_exploded
-                out = extract_exploded(ds, settings=settings)
+                out = extract_exploded(ds, settings=settings,
+                                       page_threshold=args.page_threshold)
             else:
                 out = reg.build(ds, ["xml"] if args.xml else ["extract"], ctx)
             out.write_parquet(args.out)
