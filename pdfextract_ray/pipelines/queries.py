@@ -33,9 +33,22 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, name + ".parquet")
 
 
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """The driver's testdata parquet embeds ``b'pandas'`` schema
+    metadata, and ``pyarrow.Schema.__hash__`` raises on ANY metadata
+    (unhashable dict) — Ray's ``unify_schemas`` then falls back with a
+    per-worker "Failed to hash the schemas" warning inside every
+    all-to-all reduce over such blocks. Stripping at the read is a
+    zero-copy schema swap (fuses with the read task) and makes every
+    downstream block schema hashable."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data
-    return ray.data.read_parquet(_pq(sf_dir, name), columns=columns)
+    return ray.data.read_parquet(_pq(sf_dir, name), columns=columns) \
+        .map_batches(_strip_schema_metadata, batch_size=None,
+                     batch_format="pyarrow")
 
 
 def _read_balanced(sf_dir: str, name: str, columns=None):
@@ -52,7 +65,9 @@ def _read_balanced(sf_dir: str, name: str, columns=None):
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet(_pq(sf_dir, name), columns=columns)
+    ds = ray.data.read_parquet(_pq(sf_dir, name), columns=columns) \
+        .map_batches(_strip_schema_metadata, batch_size=None,
+                     batch_format="pyarrow")
     try:
         n_groups = pq.ParquetFile(_pq(sf_dir, name)).metadata.num_row_groups
         cpus = int(ray.cluster_resources().get("CPU", 8)) \

@@ -53,10 +53,24 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, name + ".parquet")
 
 
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    # see pipelines/queries._strip_schema_metadata: driver parquet embeds
+    # b'pandas' metadata; pa.Schema.__hash__ raises on any metadata, so
+    # Ray's unify_schemas warns per-worker in every all-to-all reduce
+    return t.replace_schema_metadata(None)
+
+
+def _read(sf_dir: str, name: str, columns=None, **kw):
+    """Pruned driver-table read with hashable (metadata-free) schemas;
+    the strip is a zero-copy schema swap fused into the read task."""
+    return ray.data.read_parquet(_pq(sf_dir, name), columns=columns, **kw) \
+        .map_batches(_strip_schema_metadata, batch_size=None,
+                     batch_format="pyarrow")
+
+
 def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1 shape: grouped pricing summary over lineitem."""
-    ds = ray.data.read_parquet(
-        _pq(sf_dir, "lineitem"),
+    ds = _read(sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -117,8 +131,8 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
     nat_map = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
     nat_ref = ray.put(nat_map)  # true dimension (fixed 25 rows): broadcast ONCE
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
-                               columns=["o_custkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.table({
@@ -134,8 +148,7 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
         .groupby("o_custkey").aggregate(
             Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
 
-    customer = ray.data.read_parquet(
-        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = per_cust.join(customer, join_type="inner", num_partitions=8,
                            on=("o_custkey",), right_on=("c_custkey",))
 
@@ -169,8 +182,8 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
 
 def top_docs(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Top-k by n_chars (deterministic tie-break on doc_id)."""
-    ds = ray.data.read_parquet(_pq(sf_dir, "documents"),
-                               columns=["doc_id", "n_chars", "source"])
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "n_chars", "source"])
     # per-block partial top-k, then global sort+limit on the residue
     def partial_topk(t: pa.Table) -> pa.Table:
         idx = pc.select_k_unstable(t, k,
@@ -184,8 +197,8 @@ def top_docs(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
 
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window per event_type: count + value sum."""
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
-                               columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
@@ -229,8 +242,8 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """
     import pandas as pd
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
-                               columns=["user_id", "ts", "value"])
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -253,8 +266,8 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
     """Grouped avg/min/max with deterministic cross-engine floats."""
     from ray.data.aggregate import Max, Min, Sum
-    ds = ray.data.read_parquet(_pq(sf_dir, "part"),
-                               columns=["p_brand", "p_retailprice", "p_size"])
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_retailprice", "p_size"])
     def partial(t: pa.Table) -> pa.Table:
         g = pa.table({"p_brand": t["p_brand"],
                       "price_ticks": to_ticks(t["p_retailprice"]),
@@ -295,7 +308,7 @@ def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
     """Distinct values (Dataset.unique shape, kept as sorted rows).
     Partial per-batch counts shuffle one row per type per batch instead
     of every event row."""
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type"])
+    ds = _read(sf_dir, "events", columns=["event_type"])
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -319,8 +332,7 @@ def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
     (ray_guide "Joins and lookups")."""
     from ray.data.aggregate import Sum
 
-    items = ray.data.read_parquet(
-        _pq(sf_dir, "lineitem"),
+    items = _read(sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -336,8 +348,8 @@ def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
         .groupby("l_orderkey").aggregate(
             Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
 
-    orders = ray.data.read_parquet(_pq(sf_dir, "orders"),
-                                   columns=["o_orderkey", "o_orderstatus"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus"])
     joined = orders.join(per_order, join_type="inner", num_partitions=8,
                          on=("o_orderkey",), right_on=("l_orderkey",))
 
@@ -356,7 +368,7 @@ def doc_length_histogram(sf_dir: str, bucket: int = 50) -> "ray.data.Dataset":
     """Histogram of document lengths (bucketed count — the profile/
     histogram aggregate shape, partial pre-agg per batch)."""
     from ray.data.aggregate import Sum
-    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["n_chars"])
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
         b = pc.multiply(pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()),
@@ -375,8 +387,8 @@ def doc_length_histogram(sf_dir: str, bucket: int = 50) -> "ray.data.Dataset":
 def sample_docs(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic 10% sample (hash-bucket filter — reproducible across
     runs and partitionings, unlike RNG sampling; SQL-matched)."""
-    ds = ray.data.read_parquet(_pq(sf_dir, "documents"),
-                               columns=["doc_id", "lang", "n_chars"])
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
 
     def pick(t: pa.Table) -> pa.Table:
         keep = pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(7, pa.int64())),
@@ -389,18 +401,18 @@ def sample_docs(sf_dir: str) -> "ray.data.Dataset":
 def union_extremes(sf_dir: str) -> "ray.data.Dataset":
     """Union of two filtered streams (shortest + longest docs)."""
     cols = ["doc_id", "n_chars"]
-    a = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=cols) \
+    a = _read(sf_dir, "documents", columns=cols) \
         .map_batches(lambda t: t.filter(pc.less(t["n_chars"], 150)),
                      batch_format="pyarrow")
-    b = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=cols) \
+    b = _read(sf_dir, "documents", columns=cols) \
         .map_batches(lambda t: t.filter(pc.greater(t["n_chars"], 450)),
                      batch_format="pyarrow")
     return a.union(b)
 
 
 def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(_pq(sf_dir, "orders"),
-                               columns=["o_orderstatus", "o_totalprice"])
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.table({"o_orderstatus": t["o_orderstatus"],
@@ -443,8 +455,8 @@ def events_rolling(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
     bit-exact vs the SQL window-frame oracle."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
-                               columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -472,8 +484,7 @@ def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
     import numpy as np
     import pandas as pd
 
-    ds = ray.data.read_parquet(
-        _pq(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
         columns=["event_id", "user_id", "ts", "event_type"])
 
     def keep(t: pa.Table) -> pa.Table:
@@ -523,7 +534,7 @@ def events_range_join(sf_dir: str) -> "ray.data.Dataset":
     names = [t[0] for t in VALUE_TIERS]
     edges = np.array([t[1] for t in VALUE_TIERS][1:])  # interior lower bounds
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+    ds = _read(sf_dir, "events", columns=["value"])
 
     def partial(t: pa.Table) -> pa.Table:
         # keep only rows inside the tier table's covered range, matching
@@ -561,8 +572,8 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     One shuffle keyed by lang; per-group vectorized nlargest."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "documents"),
-                               columns=["doc_id", "lang", "n_chars"])
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -594,8 +605,8 @@ def supplier_balance_by_region(sf_dir: str) -> "ray.data.Dataset":
                                           nat["n_regionkey"].to_pylist())}
     lookup_ref = ray.put(n2r)  # broadcast ONCE
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "supplier"),
-                               columns=["s_nationkey", "s_acctbal"])
+    ds = _read(sf_dir, "supplier",
+               columns=["s_nationkey", "s_acctbal"])
 
     def partial(t: pa.Table, _ref=lookup_ref) -> pa.Table:
         n2r_ = ray.get(_ref)
@@ -643,8 +654,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
     # bounded; pc.is_in against it is vectorized, no per-row Python)
     cust_ref = ray.put(cust["c_custkey"].combine_chunks())
 
-    orders = ray.data.read_parquet(
-        _pq(sf_dir, "orders"),
+    orders = _read(sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def keep_orders(t: pa.Table, _ref=cust_ref) -> pa.Table:
@@ -655,8 +665,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
 
     cand_orders = orders.map_batches(keep_orders, batch_format="pyarrow")
 
-    items = ray.data.read_parquet(
-        _pq(sf_dir, "lineitem"),
+    items = _read(sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -700,8 +709,8 @@ def value_percentiles(sf_dir: str) -> "ray.data.Dataset":
     import math
     import pandas as pd
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
-                               columns=["event_type", "value"])
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value"])
 
     def pcts(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -729,8 +738,8 @@ def events_lead_lag(sf_dir: str) -> "ray.data.Dataset":
     One shuffle keyed by user_id; vectorized pandas shift per group."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"),
-                               columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
 
     def proj(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
