@@ -24,6 +24,7 @@ import os
 
 import pyarrow as pa
 
+from pdfextract_ray.pipelines.relational import join_partitions
 from pdfextract_ray.stages.textstats import stopwords_sql_list
 
 EXTRACT_CACHE_ROOT = "/tmp/pdfx_extract"
@@ -456,7 +457,7 @@ def curate_neardup(ds):
         return exact.select_columns(out_cols)
     # distributed anti-join: winners minus near-dup non-representatives,
     # hash-partitioned on doc_id — nothing lands on the driver
-    reps = exact.join(dropped, join_type="left_anti", num_partitions=8,
+    reps = exact.join(dropped, join_type="left_anti", num_partitions=join_partitions(),
                       on=("doc_id",), right_on=("drop_id",))
     return reps.select_columns(out_cols)
 
@@ -942,9 +943,9 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     # (documents) streams through hash partitions; a semi-join-reduced
     # read would also work but needs the candidate ids on the driver
     with_a = pairs.join(_docs("a_key", "text_a"), join_type="inner",
-                        num_partitions=8, on=("a",), right_on=("a_key",))
+                        num_partitions=join_partitions(), on=("a",), right_on=("a_key",))
     with_ab = with_a.join(_docs("b_key", "text_b"), join_type="inner",
-                          num_partitions=8, on=("b",), right_on=("b_key",))
+                          num_partitions=join_partitions(), on=("b",), right_on=("b_key",))
 
     def verify(t: pa.Table) -> pa.Table:
         # raw |∩|/|∪| division, NOT rounded: both engines divide the

@@ -68,6 +68,16 @@ def _read(sf_dir: str, name: str, columns=None, **kw):
                      batch_format="pyarrow")
 
 
+def join_partitions() -> int:
+    """Hash-join partition count derived from cluster size (same class
+    of knob as the label-propagation shard mask): one partition per two
+    cores, floor 8 — a fixed count would serialize the build/probe at
+    cluster scale."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(8, ncpu // 2)
+
+
 def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1 shape: grouped pricing summary over lineitem."""
     ds = _read(sf_dir, "lineitem",
@@ -149,7 +159,7 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
             Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
 
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = per_cust.join(customer, join_type="inner", num_partitions=8,
+    joined = per_cust.join(customer, join_type="inner", num_partitions=join_partitions(),
                            on=("o_custkey",), right_on=("c_custkey",))
 
     def to_nation(t: pa.Table, _ref=nat_ref) -> pa.Table:
@@ -350,7 +360,7 @@ def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderstatus"])
-    joined = orders.join(per_order, join_type="inner", num_partitions=8,
+    joined = orders.join(per_order, join_type="inner", num_partitions=join_partitions(),
                          on=("o_orderkey",), right_on=("l_orderkey",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -679,7 +689,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
     per_order = items.map_batches(partial, batch_format="pyarrow") \
         .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
 
-    joined = cand_orders.join(per_order, join_type="inner", num_partitions=8,
+    joined = cand_orders.join(per_order, join_type="inner", num_partitions=join_partitions(),
                               on=("o_orderkey",), right_on=("l_orderkey",))
 
     def finish(t: pa.Table) -> pa.Table:
