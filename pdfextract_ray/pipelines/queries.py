@@ -433,7 +433,10 @@ def curate_neardup(ds):
                  .drop_duplicates("text_hash", keep="first")
 
     exact = filtered.groupby("shard") \
-        .map_groups(keep_min_url, batch_format="pandas").materialize()
+        .map_groups(keep_min_url, batch_format="pandas") \
+        .map_batches(_strip_schema_metadata, batch_size=None,
+                     batch_format="pyarrow") \
+        .materialize()
 
     bands = exact.select_columns(["doc_id", "sig"]) \
         .map_batches(bands_from_sig_batch, batch_format="pyarrow")
@@ -929,9 +932,13 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
     # distributed pair dedupe (same pair from multiple bands), coalesced
-    # (Ray 2.49's hash join rejects schema-less empty blocks)
+    # (Ray 2.49's hash join rejects schema-less empty blocks); the strip
+    # normalizes the pandas-origin blocks to metadata-free Arrow so the
+    # join's schema unification stays hashable (see _strip_schema_metadata)
     pairs = pairs.groupby(["a", "b"]) \
         .aggregate(Min("est_jaccard", alias_name="est_jaccard")) \
+        .map_batches(_strip_schema_metadata, batch_size=None,
+                     batch_format="pyarrow") \
         .repartition(2).materialize()
 
     def _docs(key: str, text_name: str):
