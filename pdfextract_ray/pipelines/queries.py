@@ -38,18 +38,28 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
     """The driver's testdata parquet embeds ``b'pandas'`` schema
     metadata, and ``pyarrow.Schema.__hash__`` raises on ANY metadata
     (unhashable dict) — Ray's ``unify_schemas`` then falls back with a
-    per-worker "Failed to hash the schemas" warning inside every
-    all-to-all reduce over such blocks. Stripping at the read is a
-    zero-copy schema swap (fuses with the read task) and makes every
-    downstream block schema hashable."""
+    per-worker "Failed to hash the schemas" warning. Reads strip it
+    via the ``schema=`` override (``_clean_schema``); this batch fn
+    re-normalizes pandas-origin blocks right before hash joins (Ray's
+    pandas→arrow conversion re-attaches the metadata)."""
     return t.replace_schema_metadata(None)
+
+
+def _clean_schema(path: str, columns=None):
+    """Metadata-free (hashable) read schema, pruned to ``columns`` so it
+    matches the scanner's pruned batches; one local footer read."""
+    import pyarrow.parquet as pq
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
 
 
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data
-    return ray.data.read_parquet(_pq(sf_dir, name), columns=columns) \
-        .map_batches(_strip_schema_metadata, batch_size=None,
-                     batch_format="pyarrow")
+    path = _pq(sf_dir, name)
+    return ray.data.read_parquet(path, schema=_clean_schema(path, columns),
+                                 columns=columns)
 
 
 def _read_balanced(sf_dir: str, name: str, columns=None):
@@ -66,9 +76,9 @@ def _read_balanced(sf_dir: str, name: str, columns=None):
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet(_pq(sf_dir, name), columns=columns) \
-        .map_batches(_strip_schema_metadata, batch_size=None,
-                     batch_format="pyarrow")
+    ds = ray.data.read_parquet(_pq(sf_dir, name),
+                               schema=_clean_schema(_pq(sf_dir, name), columns),
+                               columns=columns)
     try:
         n_groups = pq.ParquetFile(_pq(sf_dir, name)).metadata.num_row_groups
         cpus = int(ray.cluster_resources().get("CPU", 8)) \

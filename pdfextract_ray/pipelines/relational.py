@@ -53,19 +53,18 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, name + ".parquet")
 
 
-def _strip_schema_metadata(t: pa.Table) -> pa.Table:
-    # see pipelines/queries._strip_schema_metadata: driver parquet embeds
-    # b'pandas' metadata; pa.Schema.__hash__ raises on any metadata, so
-    # Ray's unify_schemas warns per-worker in every all-to-all reduce
-    return t.replace_schema_metadata(None)
-
-
 def _read(sf_dir: str, name: str, columns=None, **kw):
-    """Pruned driver-table read with hashable (metadata-free) schemas;
-    the strip is a zero-copy schema swap fused into the read task."""
-    return ray.data.read_parquet(_pq(sf_dir, name), columns=columns, **kw) \
-        .map_batches(_strip_schema_metadata, batch_size=None,
-                     batch_format="pyarrow")
+    """Pruned driver-table read with hashable (metadata-free) schemas:
+    the driver parquet embeds b'pandas' schema metadata and
+    pa.Schema.__hash__ raises on any metadata, so Ray's unify_schemas
+    would warn per-worker in every all-to-all over such blocks; the
+    schema= override (one local footer read) strips it at the source."""
+    import pyarrow.parquet as pq
+    path = _pq(sf_dir, name)
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:  # prune to match the scanner's batches
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=schema, columns=columns, **kw)
 
 
 def join_partitions() -> int:
