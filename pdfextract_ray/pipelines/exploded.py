@@ -366,7 +366,14 @@ def extract_adaptive(ds, settings: Settings = DEFAULT_SETTINGS,
     TWICE (binary length is not a parquet-pushdown predicate). Parquet
     corpora carrying an ``html_size`` column should use
     :func:`extract_adaptive_pushdown` instead — the scanner-level
-    predicate makes each row enter the pipeline once."""
+    predicate makes each row enter the pipeline once. For in-memory /
+    size-column-less corpora at scale, prefer :func:`extract_exploded`
+    with a page threshold: since its first stage routes per document
+    in-process it IS a one-read adaptive pipeline, trading this
+    variant's second input scan (html is 3-10x the output text) for
+    one all-to-all over the output rows — the cheaper side at corpus
+    scale. This variant remains for pipelines that want the fused
+    branch to bypass the output shuffle entirely."""
     import pyarrow.compute as pc
 
     def _small(t: pa.Table) -> pa.Table:
