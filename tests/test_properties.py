@@ -255,3 +255,42 @@ def test_extraction_deterministic_across_processes():
         a, b = run_document(h, gazetteer=gaz), run_document(h, gazetteer=gaz)
         assert a.text == b.text
         assert a.sections == b.sections
+
+
+@given(st.lists(st.text(alphabet="abcdefgh ijkl.", min_size=0, max_size=400),
+                min_size=1, max_size=5),
+       st.integers(0, 4))
+@hsettings(max_examples=40, deadline=None)
+def test_exploded_chain_local_differential_vs_run_document(texts, threshold):
+    """The full exploded chain (ExplodeAssemble → process_residue_pages
+    → assemble_group), run LOCALLY without Ray, equals run_document for
+    every synthetic doc at every routing threshold — fuzzing the
+    completeness check, page ordering, and residue reassembly across
+    both routes (threshold 0 forces all-residue; 4 mixes routes)."""
+    import pyarrow as pa
+    from pdfextract_ray.kernel.document import run_document
+    from pdfextract_ray.kernel.names import load_gazetteer
+    from pdfextract_ray.pipelines.exploded import (ExplodeAssemble,
+                                                   assemble_group,
+                                                   process_residue_pages)
+    from pdfextract_ray.sources.corpus import synth_page
+
+    rows = [synth_page(i, t, "en", "alpha") for i, t in enumerate(texts)]
+    batch = pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "html": pa.array([r["html"].encode() if isinstance(r["html"], str)
+                          else r["html"] for r in rows], pa.binary()),
+    })
+    routed = ExplodeAssemble(page_threshold=threshold)(batch)
+    final = assemble_group(process_residue_pages(routed))
+
+    gaz = load_gazetteer()
+    got = {u: (t, n) for u, t, n in zip(final["url"].to_pylist(),
+                                        final["text"].to_pylist(),
+                                        final["n_pages"].to_pylist())}
+    assert len(got) == len(rows)
+    for r in rows:
+        ref = run_document(r["html"], gazetteer=gaz)
+        assert got[r["url"]][0] == ref.text
+        assert got[r["url"]][1] == ref.n_pages
