@@ -1,0 +1,35 @@
+#!/bin/bash
+# Gated scaling-measurement campaign (the protocol behind BASELINE.md's
+# accepted pairs): wait for a quiet window (1-min load < 0.9 AND a 20 s
+# steal probe < 1.5% of host capacity), run `bench.py --scaling` with
+# the spawn-amortized x16 workload, and ACCEPT a sample only when BOTH
+# parallelism levels' in-run steal (steal_pct_4/16, recorded by
+# bench.py itself) are under 3%. Every sample is appended to the log so
+# discarded windows stay auditable. Acceptance rule fixed up front —
+# no best-of-N selection.
+#
+# Usage: bash tools/scaling_campaign.sh [max_attempts]   (default 6)
+LOG=${SCALING_CAMPAIGN_LOG:-/tmp/scaling_campaign.jsonl}
+for attempt in $(seq 1 "${1:-6}"); do
+  while true; do
+    L=$(awk '{print $1}' /proc/loadavg)
+    s0=$(awk '{print $9; exit}' /proc/stat); sleep 20
+    s1=$(awk '{print $9; exit}' /proc/stat)
+    SP=$(awk -v d=$((s1-s0)) -v c="$(nproc)" 'BEGIN{printf "%.1f", 100*d/(20*100*c)}')
+    ok=$(awk -v l="$L" -v s="$SP" 'BEGIN{print (l<0.9 && s<1.5)?1:0}')
+    [ "$ok" = "1" ] && break
+    sleep 40
+  done
+  BENCH_SCALE_REPEAT=16 python3 "$(dirname "$0")/../bench.py" --scaling \
+    > /tmp/scal_attempt.json 2>/dev/null
+  cat /tmp/scal_attempt.json >> "$LOG"; echo >> "$LOG"
+  CLEAN=$(python3 - <<'PY'
+import json
+d = json.load(open("/tmp/scal_attempt.json"))
+s4, s16 = d.get("steal_pct_4"), d.get("steal_pct_16")
+print(1 if (s4 is not None and s16 is not None and s4 < 3 and s16 < 3) else 0)
+PY
+)
+  if [ "$CLEAN" = "1" ]; then echo "CLEAN SAMPLE on attempt $attempt" >> "$LOG"; break; fi
+done
+echo DONE >> "$LOG"
