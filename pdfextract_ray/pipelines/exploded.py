@@ -280,6 +280,13 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
     explode into per-page rows for the page-parallel path. 0 forces
     every document through the page-parallel path (tests use this).
 
+    Input contract: urls must be unique (run
+    :func:`~pdfextract_ray.pipelines.extract_pipeline.dedup_by_url`
+    first for overlapping crawls, as the job path does) — url is the
+    reassembly key, so two OVERSIZED rows sharing a url would
+    reassemble into one document here, whereas the fused pipeline
+    keeps one output row per input row.
+
     ``shuffle_partitions`` coalesces blocks before the reassembly
     groupby: the range sort's map×reduce object count is quadratic in
     block count (with heavy page payloads this was worth 3x, 23s → 8s
