@@ -24,7 +24,8 @@ import os
 
 import pyarrow as pa
 
-from pdfextract_ray.pipelines.relational import join_partitions
+from pdfextract_ray.pipelines.relational import (coalesce_for_join,
+                                                 join_partitions)
 from pdfextract_ray.stages.textstats import stopwords_sql_list
 
 EXTRACT_CACHE_ROOT = "/tmp/pdfx_extract"
@@ -457,21 +458,24 @@ def curate_neardup(ds):
     if pairs.count() == 0:
         return exact.select_columns(out_cols)
     labels = label_propagation_components(pairs)
-    dropped = labels.map_batches(
+    # coalesce_for_join compacts the label stream's many tiny blocks:
+    # Ray 2.49's hash join rejects schema-less EMPTY blocks on the
+    # right side ("No match for key field reference")
+    dropped = coalesce_for_join(labels.map_batches(
         lambda t: pa.table({"drop_id": pc.cast(
             t["node"].combine_chunks() if hasattr(t["node"], "combine_chunks")
             else t["node"], pa.int64())}).filter(
             pc.not_equal(t["node"], t["label"])),
-        batch_format="pyarrow").repartition(2).materialize()
-    # repartition(2) coalesces the label stream's many tiny blocks:
-    # Ray 2.49's hash join rejects schema-less EMPTY blocks on the
-    # right side ("No match for key field reference")
+        batch_format="pyarrow"))
     if dropped.count() == 0:
         return exact.select_columns(out_cols)
     # distributed anti-join: winners minus near-dup non-representatives,
-    # hash-partitioned on doc_id — nothing lands on the driver
-    reps = exact.join(dropped, join_type="left_anti", num_partitions=join_partitions(),
-                      on=("doc_id",), right_on=("drop_id",))
+    # hash-partitioned on doc_id — nothing lands on the driver. The
+    # left side is map_groups-derived, so it gets the same pre-join
+    # coalesce (cluster-proportional n: exact is corpus-sized).
+    reps = coalesce_for_join(exact, n=join_partitions()).join(
+        dropped, join_type="left_anti", num_partitions=join_partitions(),
+        on=("doc_id",), right_on=("drop_id",))
     return reps.select_columns(out_cols)
 
 
@@ -941,15 +945,12 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    # distributed pair dedupe (same pair from multiple bands), coalesced
-    # (Ray 2.49's hash join rejects schema-less empty blocks); the strip
-    # normalizes the pandas-origin blocks to metadata-free Arrow so the
-    # join's schema unification stays hashable (see _strip_schema_metadata)
-    pairs = pairs.groupby(["a", "b"]) \
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard")) \
-        .map_batches(_strip_schema_metadata, batch_size=None,
-                     batch_format="pyarrow") \
-        .repartition(2).materialize()
+    # distributed pair dedupe (same pair from multiple bands), then the
+    # centralized pre-join coalesce (Ray 2.49 rejects schema-less empty
+    # blocks at join inputs — see relational.coalesce_for_join)
+    pairs = coalesce_for_join(
+        pairs.groupby(["a", "b"])
+             .aggregate(Min("est_jaccard", alias_name="est_jaccard")))
 
     def _docs(key: str, text_name: str):
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -961,6 +962,11 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     # read would also work but needs the candidate ids on the driver
     with_a = pairs.join(_docs("a_key", "text_a"), join_type="inner",
                         num_partitions=join_partitions(), on=("a",), right_on=("a_key",))
+    # join→join boundary MUST re-coalesce: with ~25 pair rows over
+    # join_partitions()=16 hash partitions the first join emits mostly
+    # schema-less EMPTY blocks, which crash the second join's FieldRef
+    # resolution under the driver's num_cpus=32 config (round-3 red row)
+    with_a = coalesce_for_join(with_a)
     with_ab = with_a.join(_docs("b_key", "text_b"), join_type="inner",
                           num_partitions=join_partitions(), on=("b",), right_on=("b_key",))
 

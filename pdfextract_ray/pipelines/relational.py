@@ -77,6 +77,45 @@ def join_partitions() -> int:
     return max(8, ncpu // 2)
 
 
+def coalesce_for_join(ds: "ray.data.Dataset", n: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Normalize a DERIVED dataset (groupby / map_groups / join output)
+    immediately before it feeds a ``Dataset.join`` input.
+
+    Ray 2.49's hash-join operator crashes with ``ArrowInvalid: No match
+    or multiple matches for key field reference FieldRef.Name(..)``
+    when an input contains SCHEMA-LESS empty blocks — which sparse
+    upstreams routinely emit: a groupby's range sort over tiny data, or
+    a previous join whose hash partitions (``join_partitions()`` >>
+    rows) were mostly empty. It also logs per-worker "Failed to hash
+    the schemas" warnings when block schemas carry unhashable
+    ``b'pandas'`` metadata. This helper fixes both: strip the metadata,
+    then ``repartition(n)`` (even row split — every output block keeps
+    a schema, empty or not) and materialize so the join sees a small,
+    schema-ful block list.
+
+    Apply this to EVERY derived input of EVERY ``Dataset.join``,
+    INCLUDING join→join chains (round 3's one driver crash was exactly
+    a missed join-to-join boundary). Direct parquet scans are exempt —
+    scanner blocks always carry the file schema.
+
+    ``n`` defaults to ``max(2, join_partitions() // 4)``: a handful of
+    blocks at test scale, cluster-proportional on a real cluster so a
+    large residue side is not serialized through two blocks.
+    """
+    if n is None:
+        n = max(2, join_partitions() // 4)
+    return ds.map_batches(_strip_meta, batch_size=None,
+                          batch_format="pyarrow").repartition(n).materialize()
+
+
+def _strip_meta(t: pa.Table) -> pa.Table:
+    # pa.Schema.__hash__ raises on ANY metadata; pandas-origin blocks
+    # re-attach b'pandas' — normalize so join schema unification stays
+    # hashable (same role as queries._strip_schema_metadata).
+    return t.replace_schema_metadata(None)
+
+
 def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1 shape: grouped pricing summary over lineitem."""
     ds = _read(sf_dir, "lineitem",
@@ -158,8 +197,11 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
             Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
 
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = per_cust.join(customer, join_type="inner", num_partitions=join_partitions(),
-                           on=("o_custkey",), right_on=("c_custkey",))
+    # per_cust is groupby-derived → pre-join coalesce (customer is a
+    # direct scan: exempt, scanner blocks always carry schemas)
+    joined = coalesce_for_join(per_cust, n=join_partitions()).join(
+        customer, join_type="inner", num_partitions=join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",))
 
     def to_nation(t: pa.Table, _ref=nat_ref) -> pa.Table:
         nmap = ray.get(_ref)
@@ -359,7 +401,8 @@ def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderstatus"])
-    joined = orders.join(per_order, join_type="inner", num_partitions=join_partitions(),
+    joined = orders.join(coalesce_for_join(per_order, n=join_partitions()),
+                         join_type="inner", num_partitions=join_partitions(),
                          on=("o_orderkey",), right_on=("l_orderkey",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -688,7 +731,8 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING",
     per_order = items.map_batches(partial, batch_format="pyarrow") \
         .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
 
-    joined = cand_orders.join(per_order, join_type="inner", num_partitions=join_partitions(),
+    joined = cand_orders.join(coalesce_for_join(per_order, n=join_partitions()),
+                              join_type="inner", num_partitions=join_partitions(),
                               on=("o_orderkey",), right_on=("l_orderkey",))
 
     def finish(t: pa.Table) -> pa.Table:

@@ -4,6 +4,13 @@ Mimics the driver's check: row count + schema + order-insensitive
 value hash (columns sorted by name, rows sorted by all columns).
 
 Usage: python3 tools/check_oracles.py [sf_dir] [query ...]
+
+ACCEPTANCE GATE (round-3 lesson): verification that doesn't replicate
+the driver's Ray config is not verification — the round-3 red row
+(`dedup_minhash_verified`) only crashed at `join_partitions()` values
+implied by num_cpus=32. This tool therefore inits Ray with the
+driver's EXACT config (num_cpus=32, overridable via RAY_GRAFT_CPUS)
+and the release check runs it on sf0.01.
 """
 
 from __future__ import annotations
@@ -49,7 +56,11 @@ def main() -> int:
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        # replicate the DRIVER's config: num_cpus changes
+        # join_partitions() and shard masks, which changes which code
+        # paths execute (round-3 crash was invisible at num_cpus=8)
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
