@@ -96,9 +96,11 @@ def main(argv=None) -> int:
                              "with an html_size column route via pushdown "
                              "(each row read once); without one the corpus "
                              "is scanned twice (once per branch)")
-        sp.add_argument("--adaptive-threshold", type=int, default=64 * 1024,
+        sp.add_argument("--adaptive-threshold", type=int, default=None,
                         help="html byte size above which a doc routes to "
-                             "the exploded path (default 64KiB)")
+                             "the exploded path (default: derived p99 of "
+                             "the corpus html_size distribution on the "
+                             "pushdown path, 64KiB on the two-scan path)")
 
     sp_e = sub.add_parser("extract", help="extraction → parquet (+ optional xml)")
     common(sp_e)
@@ -248,7 +250,7 @@ def main(argv=None) -> int:
                 else:
                     out = extract_adaptive(
                         ds, settings=settings,
-                        threshold_bytes=args.adaptive_threshold)
+                        threshold_bytes=args.adaptive_threshold or 64 * 1024)
             elif args.exploded:
                 from pdfextract_ray.pipelines.exploded import extract_exploded
                 out = extract_exploded(ds, settings=settings,

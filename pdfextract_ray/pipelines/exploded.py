@@ -246,6 +246,18 @@ def assemble_group(t: pa.Table, settings: Settings = DEFAULT_SETTINGS) -> pa.Tab
         langs[r["url"]] = r["lang"]
     for url in sorted(by_url):
         pages = sorted(by_url[url], key=lambda r: r["page"])
+        # cheap guard for the unique-url input contract (see
+        # extract_exploded docstring): a duplicate (url, page) pair can
+        # only come from duplicate urls among OVERSIZED docs, which
+        # would silently merge two documents into one here — fail loud
+        # instead of corrupting.
+        page_nums = [r["page"] for r in pages]
+        if len(set(page_nums)) != len(page_nums):
+            raise ValueError(
+                "extract_exploded input contract violated: duplicate "
+                f"url {url!r} among oversized documents (duplicate "
+                "(url, page) residue rows). url is the reassembly key "
+                "— run dedup_by_url on the corpus first.")
         page_results = [
             {"n_glyphs": r["n_glyphs"], "n_chunks": r["n_chunks"],
              "regions": r["regions"] or [], "columns": r["columns"] or [],
@@ -332,8 +344,49 @@ EXPLODED_COLUMNS = ["url", "lang", "title", "text", "references",
                     "n_pages", "n_tokens", "n_refs"]
 
 
+def derive_size_threshold(paths, quantile: float = 0.99) -> int:
+    """Routing threshold from the corpus's OWN size distribution: the
+    smallest power-of-two byte bound covering ≥ ``quantile`` of rows,
+    so the exploded branch always gets exactly the heavy tail at any
+    corpus scale (a fixed constant is either never hit on a small
+    corpus or routes half of a heavy one).
+
+    Distributed and driver-safe: a pruned single-column read feeds a
+    per-block log2 histogram (64 counters), rolled up with a 64-key
+    groupby — only the 64-row histogram ever reaches the driver, never
+    the column. NULL ``html_size`` rows are excluded here and routed to
+    the fused branch by :func:`extract_adaptive_pushdown`."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(paths, columns=["html_size"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        sz = t["html_size"].to_numpy(zero_copy_only=False).astype("float64")
+        sz = sz[~np.isnan(sz)]
+        counts = np.zeros(64, np.int64)
+        if sz.size:
+            idx = np.ceil(np.log2(np.maximum(sz, 1.0))).astype(np.int64)
+            np.add.at(counts, np.clip(idx, 0, 63), 1)
+        return pa.table({"b": pa.array(np.arange(64), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    rows = ds.map_batches(hist, batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("n", alias_name="n")).take_all()
+    counts = np.zeros(64, np.int64)
+    for r in rows:
+        counts[int(r["b"])] = int(r["n"])
+    total = int(counts.sum())
+    if total == 0:
+        return 64 * 1024  # size column empty/all-null: documented default
+    cum = np.cumsum(counts)
+    bucket = int(np.searchsorted(cum, quantile * total))
+    return int(2 ** min(bucket, 62))
+
+
 def extract_adaptive_pushdown(paths, settings: Settings = DEFAULT_SETTINGS,
-                              threshold_bytes: int = 64 * 1024,
+                              threshold_bytes: int | None = None,
                               concurrency: tuple | None = None):
     """One-read skew router over a corpus that carries an ``html_size``
     metadata column (the synthetic corpus does; Common-Crawl indexes
@@ -343,17 +396,26 @@ def extract_adaptive_pushdown(paths, settings: Settings = DEFAULT_SETTINGS,
     exactly once, and row-group min/max stats prune the (mostly empty)
     mega-doc side. Prefer this over :func:`extract_adaptive` whenever
     the input is parquet with a size column; fall back to the
-    Dataset-based router only for in-memory corpora."""
+    Dataset-based router only for in-memory corpora.
+
+    ``threshold_bytes=None`` (default) derives the routing bound from
+    the corpus itself (:func:`derive_size_threshold` p99) instead of a
+    magic constant. Rows with a NULL ``html_size`` route to the fused
+    branch — a pushdown predicate evaluates to null for them on BOTH
+    sides, which would silently drop the row from both branches."""
     import pyarrow.compute as pc
     import ray
     from pdfextract_ray.pipelines.extract_pipeline import CORPUS_COLUMNS
 
+    if threshold_bytes is None:
+        threshold_bytes = derive_size_threshold(paths)
+    size = pc.field("html_size")
     small = ray.data.read_parquet(
         paths, columns=CORPUS_COLUMNS,
-        filter=pc.field("html_size") <= threshold_bytes)
+        filter=size.is_null() | (size <= threshold_bytes))
     big = ray.data.read_parquet(
         paths, columns=CORPUS_COLUMNS,
-        filter=pc.field("html_size") > threshold_bytes)
+        filter=size > threshold_bytes)
     return _adaptive_union(small, big, settings, concurrency)
 
 

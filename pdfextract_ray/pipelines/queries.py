@@ -140,14 +140,17 @@ def q_extract_adaptive(sf_dir: str):
     oversized docs through the page-exploded path; union of both.
     One-read routing: each branch is a ``read_parquet`` with a pushdown
     predicate on the corpus's ``html_size`` metadata column, so a row's
-    html bytes enter the pipeline exactly once. Threshold set inside
-    the corpus size distribution so both branches run even at test
-    scale."""
+    html bytes enter the pipeline exactly once. The threshold is
+    derived from the corpus's own size distribution (p99 via a
+    distributed log2 histogram — see ``derive_size_threshold``), so
+    the exploded branch gets exactly the heavy tail at ANY scale —
+    both branches exercise even on the test corpus, with no magic
+    constant baked into the registered query."""
     from pdfextract_ray.pipelines.exploded import extract_adaptive_pushdown
     from pdfextract_ray.sources.corpus import ensure_corpus
 
     corpus = ensure_corpus(sf_dir)
-    return extract_adaptive_pushdown(corpus, threshold_bytes=7000)
+    return extract_adaptive_pushdown(corpus)
 
 
 def q_extract_references(sf_dir: str):
@@ -651,10 +654,19 @@ def q_lang_id(sf_dir: str):
 # counts; argmax with FIRST-lang-wins tie-break (the Python dict
 # iteration order en,de,fr,es + strict '>' update). round() halfway
 # cases cannot occur: hits/nw has denominator <= nw << 2e6.
+# Tokenizer parity note: the Ray path splits with Arrow's
+# ascii_split_whitespace and this oracle splits with the IDENTICAL
+# explicit RE2 class [ \t\n\v\f\r] — pinned on BOTH sides so
+# hash-parity holds for ANY corpus, including exotic Unicode
+# separators (NBSP/NEL/U+3000/\x1c stay inside tokens in both
+# engines; property-tested in test_textstats.py). `\s+` was not used
+# because RE2 \s excludes \v, and utf8_split_whitespace was dropped
+# because pyarrow 16.1's Unicode split showed heap-state-dependent
+# misses on bidi-class separators.
 _LANG_ID_SQL = r"""
 WITH w AS (
   SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 h AS (

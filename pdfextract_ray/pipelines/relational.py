@@ -176,8 +176,10 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as pq
 
     nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    nat_map = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    nat_ref = ray.put(nat_map)  # true dimension (fixed 25 rows): broadcast ONCE
+    # true dimension (fixed 25 rows): broadcast ONCE as key/name arrays
+    # for a vectorized pc.index_in + take projection per batch
+    nat_ref = ray.put((nat["n_nationkey"].combine_chunks(),
+                       nat["n_name"].combine_chunks()))
 
     ds = _read(sf_dir, "orders",
                columns=["o_custkey", "o_totalprice"])
@@ -204,10 +206,10 @@ def nation_revenue(sf_dir: str) -> "ray.data.Dataset":
         on=("o_custkey",), right_on=("c_custkey",))
 
     def to_nation(t: pa.Table, _ref=nat_ref) -> pa.Table:
-        nmap = ray.get(_ref)
-        names = [nmap[nk] for nk in t["c_nationkey"].to_pylist()]
+        keys, names = ray.get(_ref)
+        pos = pc.index_in(t["c_nationkey"], value_set=keys)
         g = pa.table({
-            "n_name": pa.array(names, pa.string()),
+            "n_name": names.take(pos),
             "revenue": t["revenue"],
             "n": t["n"],
         })
@@ -652,18 +654,19 @@ def supplier_balance_by_region(sf_dir: str) -> "ray.data.Dataset":
                         columns=["n_nationkey", "n_regionkey"])
     reg = pq.read_table(_pq(sf_dir, "region"),
                         columns=["r_regionkey", "r_name"])
-    rmap = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
-    n2r = {nk: rmap[rk] for nk, rk in zip(nat["n_nationkey"].to_pylist(),
-                                          nat["n_regionkey"].to_pylist())}
-    lookup_ref = ray.put(n2r)  # broadcast ONCE
+    # compose nation→region name once on the driver (25 rows), then
+    # broadcast the key/name ARRAYS for a vectorized index_in + take
+    rpos = pc.index_in(nat["n_regionkey"], value_set=reg["r_regionkey"].combine_chunks())
+    lookup_ref = ray.put((nat["n_nationkey"].combine_chunks(),
+                          reg["r_name"].combine_chunks().take(rpos.combine_chunks())))
 
     ds = _read(sf_dir, "supplier",
                columns=["s_nationkey", "s_acctbal"])
 
     def partial(t: pa.Table, _ref=lookup_ref) -> pa.Table:
-        n2r_ = ray.get(_ref)
-        names = [n2r_[nk] for nk in t["s_nationkey"].to_pylist()]
-        g = pa.table({"r_name": pa.array(names, pa.string()),
+        keys, names = ray.get(_ref)
+        pos = pc.index_in(t["s_nationkey"], value_set=keys)
+        g = pa.table({"r_name": names.take(pos),
                       "bal": to_ticks(t["s_acctbal"]),
                       "bal_max": t["s_acctbal"],
                       "n": pa.array([1] * t.num_rows, pa.int64())})

@@ -49,13 +49,28 @@ class Settings:
 
     def with_overrides(self, overrides: Mapping[str, Any] | None) -> "Settings":
         """Reference coerces every override with ``value.to_f``
-        (pdf.rb:29-36); we mirror with float() for the numeric tunables
-        (string-valued selectors pass through)."""
+        (pdf.rb:29-36); we mirror with float() for the numeric tunables.
+        String selectors pass through — including JSON ``null`` → None
+        (``str(None)`` would smuggle the string ``"None"`` into the
+        backend registry and fail confusingly at extraction time), and
+        a non-None backend is validated EAGERLY so a typo fails at
+        config-parse time, not mid-job on a worker."""
         if not overrides:
             return self
-        return replace(self, **{
-            k: (str(v) if k in self._STR_FIELDS else float(v))
-            for k, v in overrides.items()})
+
+        def coerce(k: str, v: Any):
+            if k in self._STR_FIELDS:
+                if v is None:
+                    return None
+                v = str(v)
+                if k == "names_backend":
+                    from pdfextract_ray.kernel.names import resolve_detector
+                    resolve_detector(v)  # raises ValueError on unknown
+                return v
+            return float(v)
+
+        return replace(self, **{k: coerce(k, v)
+                                for k, v in overrides.items()})
 
 
 DEFAULT_SETTINGS = Settings()

@@ -19,10 +19,28 @@ one-read adaptive skew router (``exploded.py``) works on any source.
 
 from __future__ import annotations
 
+import logging
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_LOG = logging.getLogger(__name__)
+
 _EPOCH_US = 1_704_067_200_000_000
+
+
+def _warc_resync(buf: bytes, pos: int, n: int, why: str) -> int:
+    """Scan forward from ``pos`` for the next ``CRLFCRLF WARC/`` record
+    boundary so a single corrupt record skips ITSELF, not the rest of
+    the segment; logs the byte offset so truncation is observable."""
+    nxt = buf.find(b"\r\n\r\nWARC/", pos)
+    if nxt < 0:
+        _LOG.warning("WARC: %s at byte %d; no further record boundary — "
+                     "dropping the remaining %d bytes", why, pos, n - pos)
+        return n
+    _LOG.warning("WARC: %s at byte %d; resynced at byte %d "
+                 "(skipped %d bytes)", why, pos, nxt + 4, nxt + 4 - pos)
+    return nxt + 4
 
 
 def read_html_files(path: str, lang: str = "und"):
@@ -132,7 +150,11 @@ def parse_warc_records(buf: bytes):
             return
         head = buf[pos:hdr_end]
         if not head.startswith(b"WARC/"):
-            return  # lost framing — stop rather than misparse
+            # lost framing — never silent: log the offset, then try to
+            # resync at the next record boundary so one corrupt record
+            # doesn't silently truncate the rest of the segment
+            pos = _warc_resync(buf, pos, n, "lost WARC framing")
+            continue
         headers = {}
         for line in head.split(b"\r\n")[1:]:
             k, sep, v = line.partition(b":")
@@ -141,11 +163,16 @@ def parse_warc_records(buf: bytes):
         try:
             clen = int(headers.get(b"content-length", b""))
         except ValueError:
-            return  # cannot skip a record of unknown length
+            pos = _warc_resync(buf, hdr_end + 4, n,
+                               "unparseable Content-Length")
+            continue
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end > n:
-            return  # truncated tail record
+            _LOG.warning(
+                "WARC: truncated tail record at byte %d (need %d bytes, "
+                "have %d) — dropping it", pos, clen, n - body_start)
+            return
         payload = buf[body_start:body_end]
         pos = body_end
 

@@ -182,7 +182,18 @@ class LangId:
     (strict improvement in marker-table order → first language wins a
     tie; zero hits → "und"), and the final per-doc score keeps Python
     ``round`` (correctly-rounded decimal; np.round's scale-divide can
-    differ in the last ulp, which would break the DuckDB oracle hash)."""
+    differ in the last ulp, which would break the DuckDB oracle hash).
+
+    Tokenizer contract: ASCII whitespace (``ascii_split_whitespace``,
+    the set ``[ \\t\\n\\v\\f\\r]``) — pinned to EXACTLY what the DuckDB
+    oracle's RE2 character class matches, so hash-parity holds on any
+    corpus, not just ASCII-separated ones (exotic Unicode separators
+    stay inside tokens in BOTH engines). Deliberately NOT
+    ``utf8_split_whitespace``: pyarrow 16.1's Unicode split was
+    observed (property test, round 4) to non-deterministically miss
+    bidi-class separators (\\x1c) under specific heap states, and
+    Python ``str.split`` whitespace (NBSP, NEL, \\x1c-\\x1f) disagrees
+    with RE2 anyway."""
 
     def __init__(self) -> None:
         self.langs = list(_LANG_MARKERS)
@@ -196,10 +207,10 @@ class LangId:
         n = batch.num_rows
         texts = pc.fill_null(
             pc.utf8_lower(batch["text"].combine_chunks()), "")
-        words = pc.utf8_split_whitespace(texts)
+        words = pc.ascii_split_whitespace(texts)
         flat = pc.list_flatten(words)
         parents = pc.list_parent_indices(words)
-        # str.split() semantics: drop the empty tokens Arrow keeps at
+        # split('\s+') semantics: drop the empty tokens Arrow keeps at
         # string edges
         nonempty = pc.not_equal(flat, "")
         flat = flat.filter(nonempty)

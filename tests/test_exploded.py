@@ -154,3 +154,61 @@ def test_adaptive_pushdown_equals_fused(ray_session, corpus_path):
         pd.testing.assert_series_equal(got[col], exp[col], check_names=False)
     assert all(list(a) == list(b) for a, b in zip(got["references"],
                                                   exp["references"]))
+
+
+def test_adaptive_pushdown_null_sizes_not_dropped(ray_session, tiny_corpus,
+                                                  tmp_path_factory):
+    """Rows with NULL html_size must route to the fused branch, not
+    vanish (a pushdown predicate is null on BOTH sides for them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdfextract_ray.pipelines.exploded import extract_adaptive_pushdown
+
+    t = tiny_corpus
+    n = t.num_rows
+    sizes = t["html_size"].to_pylist()
+    nulled = [None if i % 3 == 0 else s for i, s in enumerate(sizes)]
+    t = t.set_column(t.schema.get_field_index("html_size"), "html_size",
+                     pa.array(nulled, pa.int64()))
+    d = tmp_path_factory.mktemp("corpus_nullsz")
+    pq.write_table(t, str(d / "part-0.parquet"))
+
+    thr = sorted(s for s in nulled if s is not None)[n // 3]
+    out = extract_adaptive_pushdown(str(d), threshold_bytes=thr).to_pandas()
+    assert len(out) == n
+    assert sorted(out["url"]) == sorted(t["url"].to_pylist())
+
+
+def test_derive_size_threshold_covers_quantile(ray_session, corpus_path):
+    """Derived threshold is a power of two bounding >= q of the corpus,
+    and the default (p99) leaves a non-empty heavy tail on skewed data."""
+    import glob
+    import pyarrow.parquet as pq
+    from pdfextract_ray.pipelines.exploded import derive_size_threshold
+
+    sizes = pq.read_table(glob.glob(corpus_path + "/*.parquet"),
+                          columns=["html_size"])["html_size"].to_pylist()
+    for q in (0.5, 0.9, 0.99):
+        thr = derive_size_threshold(corpus_path, quantile=q)
+        assert thr & (thr - 1) == 0  # power of two
+        frac = sum(1 for s in sizes if s <= thr) / len(sizes)
+        assert frac >= q
+        # the next-smaller bucket would NOT cover q (tightness)
+        frac_below = sum(1 for s in sizes if s <= thr // 2) / len(sizes)
+        assert frac_below < q
+
+
+def test_exploded_duplicate_url_contract_raises(ray_session, tiny_corpus):
+    """Duplicate urls among OVERSIZED docs would silently merge into one
+    reassembled document — assemble_group must fail loud instead."""
+    import pyarrow as pa
+    import ray.data
+    import pytest as _pytest
+    from pdfextract_ray.pipelines.exploded import extract_exploded
+
+    t = tiny_corpus.slice(0, 4)
+    dup = pa.concat_tables([t, t.slice(0, 1)])  # url[0] twice
+    ds = ray.data.from_arrow(dup)
+    with _pytest.raises(Exception, match="contract violated"):
+        # page_threshold=0 forces the residue path for every doc
+        extract_exploded(ds, concurrency=2, page_threshold=0).materialize()

@@ -81,3 +81,19 @@ def test_resolve_detector_rejects_unknown():
     assert resolve_detector(NamesDatabase) is NamesDatabase
     with pytest.raises(ValueError):
         resolve_detector("mongo")
+
+
+def test_names_backend_null_override_stays_none():
+    """JSON config {"names_backend": null} must stay None (inherit the
+    process default), not become the string "None"."""
+    from pdfextract_ray.settings import DEFAULT_SETTINGS
+    s = DEFAULT_SETTINGS.with_overrides({"names_backend": None})
+    assert s.names_backend is None
+
+
+def test_names_backend_validated_eagerly():
+    """A typo'd backend fails at config-parse time, not mid-job."""
+    import pytest
+    from pdfextract_ray.settings import DEFAULT_SETTINGS
+    with pytest.raises(ValueError, match="unknown names backend"):
+        DEFAULT_SETTINGS.with_overrides({"names_backend": "databse"})

@@ -106,3 +106,89 @@ def test_rolling_fingerprint_robust_to_small_edits():
     assert shared_ac == 0
     # short/empty inputs don't raise
     assert rolling_fingerprint("") and rolling_fingerprint("ab")
+
+
+def test_lang_id_vectorized_equals_scalar_property():
+    """ADVICE r3: the vectorized tokenizer must honor LangId's pinned
+    contract — ASCII-whitespace splitting, simple-case lowering — on
+    arbitrary Unicode content, not just the clean corpus. The scalar
+    reference below IS that contract (re.split on the exact ASCII
+    class the oracle SQL uses); exotic Unicode separators (NBSP, NEL,
+    \\x1c-\\x1f, U+3000) must stay INSIDE tokens, identically to the
+    DuckDB oracle's RE2 class. This property test is also what caught
+    pyarrow 16.1's heap-state-dependent utf8_split_whitespace misses,
+    which is why LangId uses ascii_split_whitespace."""
+    import re
+    import pyarrow.compute as pc
+    from hypothesis import given, settings as hsettings, strategies as st
+
+    token_re = re.compile("[ \t\n\v\f\r]+")
+
+    def scalar_lang_id(texts):
+        langs = list(T._LANG_MARKERS)
+        preds, scores = [], []
+        for text in texts:
+            # the contract tokenizer: ASCII class split, then Arrow's
+            # (simple-mapping, utf8proc) lowercase per token
+            toks = [t for t in token_re.split(text or "") if t]
+            words = pc.utf8_lower(pa.array(toks, pa.string())).to_pylist() \
+                if toks else []
+            hits = {k: sum(1 for w in words if w in v)
+                    for k, v in T._LANG_MARKERS.items()}
+            best = max(hits.values()) if words else 0
+            if not words or best == 0:
+                preds.append("und")
+            else:
+                preds.append(next(k for k in langs if hits[k] == best))
+            scores.append(round(best / len(words), 6) if words else 0.0)
+        return preds, scores
+
+    seps = st.sampled_from([" ", "\t", "\n", "\v", "\f", "\r", "  ",
+                            " \t", "\n\n"])
+    word = st.one_of(
+        st.sampled_from(["the", "and", "der", "und", "le", "la", "el",
+                         "es", "THE", "Und", "\u0130st", "\u017ft",
+                         "\xdf", "x", "a\xa0b", "c\x1cd", "e\x85f",
+                         "g\u3000h"]),
+        st.text(min_size=1, max_size=6).filter(
+            lambda s: not token_re.search(s)))
+    doc = st.lists(st.tuples(word, seps), min_size=0, max_size=12).map(
+        lambda ps: "".join(w + s for w, s in ps))
+
+    @hsettings(max_examples=200, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(texts):
+        batch = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "text": pa.array(texts, pa.string()),
+        })
+        out = T.LangId()(batch)
+        preds, scores = scalar_lang_id(texts)
+        assert out["pred_lang"].to_pylist() == preds
+        assert out["marker_ratio"].to_pylist() == scores
+
+    check()
+
+
+def test_lang_id_special_casing_sides_with_oracle():
+    """The one known case-mapping divergence (U+0130 İ): Python's full
+    lowercase is 'i'+combining-dot, but Arrow AND DuckDB simple-map to
+    'i' — so the vectorized path keeps the hash-equality contract with
+    the DuckDB oracle exactly where the scalar loop would break it."""
+    import duckdb
+    batch = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "lang": ["de"],
+        "text": ["der hund İST da"],
+    })
+    out = T.LangId()(batch).to_pandas()
+    duck = duckdb.sql(
+        r"""SELECT len(list_filter(
+                list_filter(regexp_split_to_array(lower('der hund İST da'), '\s+'),
+                            x -> x <> ''),
+                x -> list_contains(['der','die','das','und','ist','nicht'], x)))
+        """).fetchone()[0]
+    assert duck == 2                       # oracle counts 'ist'
+    assert out["marker_ratio"][0] == 0.5   # 2 of 4 — matches oracle
+    assert out["pred_lang"][0] == "de"

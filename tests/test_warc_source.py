@@ -111,3 +111,39 @@ def test_cli_extract_warc(ray_session, warc_corpus, tmp_path, capsys):
     assert stats["ok"] is True
     t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
     assert t.num_rows == 8 and "text" in t.schema.names
+
+
+def test_parse_warc_resyncs_after_corrupt_record(caplog):
+    """A corrupt record must skip ITSELF, not silently truncate the
+    rest of the segment — the parser resyncs at the next CRLFCRLF+WARC/
+    boundary and logs the byte offset (observable truncation)."""
+    import logging
+
+    ok1 = _response("http://a/1", b"<p>one</p>")
+    bad_clen = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"Content-Length: oops\r\n\r\npayload")
+    garbage = b"\x00\xffnot a warc header block"
+    ok2 = _response("http://b/2", b"<p>two</p>")
+
+    with caplog.at_level(logging.WARNING,
+                         logger="pdfextract_ray.sources.readers"):
+        got = list(parse_warc_records(
+            bad_clen + b"\r\n\r\n" + ok1 + garbage + b"\r\n\r\n" + ok2))
+    assert [u for u, _, _ in got] == ["http://a/1", "http://b/2"]
+    msgs = [r.message for r in caplog.records]
+    assert any("Content-Length" in m for m in msgs)
+    assert any("framing" in m for m in msgs)
+    assert all("byte" in m for m in msgs)  # offsets observable
+
+
+def test_parse_warc_truncated_tail_logged(caplog):
+    import logging
+
+    ok = _response("http://a/1", b"<p>ok</p>")
+    truncated = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                 b"Content-Length: 999\r\n\r\nxx")
+    with caplog.at_level(logging.WARNING,
+                         logger="pdfextract_ray.sources.readers"):
+        got = list(parse_warc_records(ok + truncated))
+    assert [u for u, _, _ in got] == ["http://a/1"]
+    assert any("truncated tail" in r.message for r in caplog.records)
