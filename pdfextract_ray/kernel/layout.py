@@ -143,8 +143,103 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
+# ---- fast tag scanner -------------------------------------------------
+# html.parser's goahead/parse_starttag machinery costs ~19% of kernel
+# time (round-3 profile). This scanner drives the SAME _BlockCollector
+# handlers over the regular-HTML subset the corpus grammar emits
+# (lowercase alnum tag names, double-quoted or bare attributes,
+# no comments/PIs/declarations) and BAILS to the stdlib parser on the
+# first construct outside that subset, so parity is guaranteed by
+# construction for anything it doesn't provably handle. Byte-parity
+# with html.parser over the subset is enforced by a differential
+# harness (tests/test_fast_parse.py: every golden doc, the sf0.001
+# corpus, and hypothesis-fuzzed HTML, fast vs stdlib, equal output).
+_FAST_STARTTAG_RE = re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*"[^"<>]*")?)*)'
+    r'\s*(/?)>')
+_FAST_ENDTAG_RE = re.compile(r'</([a-zA-Z][a-zA-Z0-9]*)\s*>')
+_FAST_ATTR_RE = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*"([^"<>]*)"')
+_CDATA_CLOSE_RE = {t: re.compile(r'</\s*%s\s*>' % t, re.IGNORECASE)
+                   for t in ("script", "style")}
+_ATTR_TAGS = BLOCK_TAGS | {"body"}
+
+
+def _fast_feed(html: str, c: _BlockCollector) -> bool:
+    """Drive ``c``'s handlers over the regular-HTML subset; return False
+    to bail to the stdlib parser (collector state is then discarded).
+
+    Mirrors html.parser semantics exactly within the subset: text runs
+    between tags are unescaped as one segment (goahead does the same
+    via ``unescape(rawdata[i:j])``), script/style enter CDATA mode (raw
+    data up to ``</\\s*tag\\s*>``, unterminated content silently dropped
+    like goahead's cdata break), a stray ``<`` becomes one data char,
+    and self-closing tags fire start+end without CDATA mode."""
+    from html import unescape
+
+    pos, n = 0, len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            seg = html[pos:]
+            c.handle_data(unescape(seg) if "&" in seg else seg)
+            return True
+        if lt > pos:
+            seg = html[pos:lt]
+            c.handle_data(unescape(seg) if "&" in seg else seg)
+        nxt = html[lt + 1:lt + 2]
+        if nxt == "":
+            # '<' at EOF: goahead breaks, then the end-flush emits it
+            c.handle_data("<")
+            return True
+        if nxt == "/":
+            m = _FAST_ENDTAG_RE.match(html, lt)
+            if m is None:
+                return False  # </>, bogus comment, nonsubset name
+            c.handle_endtag(m.group(1).lower())
+            pos = m.end()
+        elif ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+            m = _FAST_STARTTAG_RE.match(html, lt)
+            if m is None:
+                return False  # unquoted/single-quoted attrs, weird name
+            tag = m.group(1).lower()
+            attrs_s = m.group(2)
+            attrs: list = []
+            if attrs_s and tag in _ATTR_TAGS:
+                attrs = [(k.lower(), unescape(v) if "&" in v else v)
+                         for k, v in _FAST_ATTR_RE.findall(attrs_s)]
+            pos = m.end()
+            if m.group(3):  # XHTML self-close: start+end, no CDATA mode
+                c.handle_starttag(tag, attrs)
+                c.handle_endtag(tag)
+                continue
+            c.handle_starttag(tag, attrs)
+            if tag in ("script", "style"):
+                mm = _CDATA_CLOSE_RE[tag].search(html, pos)
+                if mm is None:
+                    # goahead: cdata with no close → content dropped,
+                    # no endtag fires
+                    pos = n
+                    continue
+                if mm.start() > pos:
+                    c.handle_data(html[pos:mm.start()])  # raw, per cdata
+                c.handle_endtag(tag)
+                pos = mm.end()
+        elif nxt in "!?":
+            return False  # comments / PIs / declarations: stdlib
+        else:
+            c.handle_data("<")
+            pos = lt + 1
+    return True
+
+
 def parse_blocks(html: str) -> _BlockCollector:
     c = _BlockCollector()
+    if _fast_feed(html, c):
+        c._flush()  # close() minus the goahead machinery
+        return c
+    c = _BlockCollector()  # bail: fresh collector, exact stdlib parse
     c.feed(html)
     c.close()
     return c

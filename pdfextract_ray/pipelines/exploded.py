@@ -308,14 +308,23 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
 
     ``page_batch_size`` bounds a residue page batch in pages.
 
-    Steady-state cost vs the fused pipeline (sf0.1/32cpu, measured):
-    kernel CPU is 1.0x (242 CPU-s vs fused's ~240 — the in-stage
-    router removed the Arrow⇄dict line-payload round-trip, which
-    alone cost ~0.7x of kernel time), and the remaining wall gap
-    (~1.4-1.6x) is the two all-to-all barriers moving the OUTPUT rows.
+    Topology (round 4): finished rows route AROUND the reassembly
+    shuffle entirely. The routed stream is materialized ONCE (block
+    refs stay in the object store, spillable — and the old chain's
+    repartition+sort barriers held the same bytes there anyway; a
+    Dataset consumed by two branches without the materialize would
+    re-execute the kernel per branch), then split by the ``assembled``
+    flag with zero-copy filters: finished rows go straight to the
+    output union, and ONLY true mega-doc pages pay the page stage and
+    the two all-to-alls. Steady-state cost vs the fused pipeline:
+    kernel CPU 1.0x (in-stage router, no Arrow⇄dict round-trip for
+    small docs), shuffle bytes ≈ the mega-doc residue only (was: the
+    entire output, the r3 1.4-1.6x wall gap). The trade: route and
+    residue stages no longer overlap — irrelevant when residue is the
+    rare path by design (page_threshold=0 test runs accept it).
     Corpora with a size column should use
-    :func:`extract_adaptive_pushdown`, which routes at the scanner and
-    shuffles only true mega-doc pages."""
+    :func:`extract_adaptive_pushdown`, which routes at the scanner."""
+    import pyarrow.compute as pc
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
@@ -328,16 +337,27 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
         fn_constructor_kwargs=dict(settings=settings,
                                    page_threshold=page_threshold),
         concurrency=concurrency, num_cpus=1,
+    ).materialize()
+
+    def _finished(t: pa.Table) -> pa.Table:
+        return t.filter(t["assembled"]).select(ASSEMBLE_SCHEMA.names) \
+                .cast(ASSEMBLE_SCHEMA)
+
+    def _residue(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["assembled"]))
+
+    finished = routed.map_batches(_finished, batch_format="pyarrow")
+    processed = routed.map_batches(_residue, batch_format="pyarrow") \
+        .map_batches(
+            process_residue_pages, batch_format="pyarrow",
+            batch_size=page_batch_size, fn_kwargs=dict(settings=settings),
     )
-    processed = routed.map_batches(
-        process_residue_pages, batch_format="pyarrow",
-        batch_size=page_batch_size, fn_kwargs=dict(settings=settings),
-    )
-    return processed.repartition(shuffle_partitions) \
+    reassembled = processed.repartition(shuffle_partitions) \
         .groupby("url_shard").map_groups(
             assemble_group, batch_format="pyarrow",
             fn_kwargs=dict(settings=settings),
     )
+    return finished.union(reassembled)
 
 
 EXPLODED_COLUMNS = ["url", "lang", "title", "text", "references",
