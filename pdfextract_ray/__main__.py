@@ -252,9 +252,15 @@ def main(argv=None) -> int:
                         ds, settings=settings,
                         threshold_bytes=args.adaptive_threshold or 64 * 1024)
             elif args.exploded:
-                from pdfextract_ray.pipelines.exploded import extract_exploded
-                out = extract_exploded(ds, settings=settings,
-                                       page_threshold=args.page_threshold)
+                # streaming actor-side sink: finished rows are written
+                # during extraction (no materialize barrier, measured
+                # 1.09x fused vs the Dataset-returning variant's 1.47x);
+                # mega-doc residue lands in <out>/residue/
+                from pdfextract_ray.pipelines.exploded import \
+                    extract_exploded_to_dir
+                extract_exploded_to_dir(ds, args.out, settings=settings,
+                                        page_threshold=args.page_threshold)
+                return 0
             else:
                 out = reg.build(ds, ["xml"] if args.xml else ["extract"], ctx)
             out.write_parquet(args.out)

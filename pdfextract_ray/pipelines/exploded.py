@@ -279,6 +279,33 @@ def assemble_group(t: pa.Table, settings: Settings = DEFAULT_SETTINGS) -> pa.Tab
     return pa.concat_tables([done, built]) if done.num_rows else built
 
 
+def _split_finished(t: pa.Table) -> pa.Table:
+    """Finished-document rows of a routed block, in the output schema.
+
+    Fast path: routed blocks are overwhelmingly all-finished (residue
+    is the rare mega-doc tail by design), and ``Table.filter`` gathers
+    (copies) even under an all-true mask — skip it and take the
+    zero-copy projection when the block has no residue rows."""
+    import pyarrow.compute as pc
+
+    mask = t["assembled"]
+    if not pc.all(mask).as_py():  # vacuously true on empty blocks
+        t = t.filter(mask)
+    sel = t.select(ASSEMBLE_SCHEMA.names)
+    # column types always match ASSEMBLE_SCHEMA (both derive from
+    # WORKER_SCHEMA); cast only to normalize schema metadata drift
+    return sel if sel.schema == ASSEMBLE_SCHEMA else sel.cast(ASSEMBLE_SCHEMA)
+
+
+def _split_residue(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mask = t["assembled"]
+    if not pc.any(mask).as_py():  # all-residue block: nothing to drop
+        return t
+    return t.filter(pc.invert(mask))
+
+
 def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
                      concurrency: int | tuple | None = None,
                      shuffle_partitions: int | None = None,
@@ -323,8 +350,11 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
     residue stages no longer overlap — irrelevant when residue is the
     rare path by design (page_threshold=0 test runs accept it).
     Corpora with a size column should use
-    :func:`extract_adaptive_pushdown`, which routes at the scanner."""
-    import pyarrow.compute as pc
+    :func:`extract_adaptive_pushdown`, which routes at the scanner.
+    When the endpoint is a parquet directory anyway, use
+    :func:`extract_exploded_to_dir` — its actor-side sink removes this
+    variant's materialize barrier (measured 1.09x fused vs 1.47x at
+    sf0.1/32cpu)."""
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
@@ -339,15 +369,10 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
         concurrency=concurrency, num_cpus=1,
     ).materialize()
 
-    def _finished(t: pa.Table) -> pa.Table:
-        return t.filter(t["assembled"]).select(ASSEMBLE_SCHEMA.names) \
-                .cast(ASSEMBLE_SCHEMA)
+    finished_of, residue_of = _split_finished, _split_residue
 
-    def _residue(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(t["assembled"]))
-
-    finished = routed.map_batches(_finished, batch_format="pyarrow")
-    processed = routed.map_batches(_residue, batch_format="pyarrow") \
+    finished = routed.map_batches(finished_of, batch_format="pyarrow")
+    processed = routed.map_batches(residue_of, batch_format="pyarrow") \
         .map_batches(
             process_residue_pages, batch_format="pyarrow",
             batch_size=page_batch_size, fn_kwargs=dict(settings=settings),
@@ -358,6 +383,99 @@ def extract_exploded(ds, settings: Settings = DEFAULT_SETTINGS,
             fn_kwargs=dict(settings=settings),
     )
     return finished.union(reassembled)
+
+
+class ExplodeAssembleSink(ExplodeAssemble):
+    """Routed stage with an actor-side sink: finished rows are written
+    to partitioned parquet directly from ``__call__`` (tmp + rename, so
+    readers never see a partial file) and only mega-doc page residue
+    flows downstream. This removes the Dataset-returning variant's
+    materialize barrier — the finished-row write overlaps extraction
+    exactly like the fused pipeline's streaming sink."""
+
+    def __init__(self, out_dir: str, settings: Settings | None = None,
+                 page_threshold: int = 64) -> None:
+        super().__init__(settings=settings, page_threshold=page_threshold)
+        import os
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = super().__call__(batch)
+        done = _split_finished(t)
+        if done.num_rows:
+            # deterministic name: batches are per-block (deterministic
+            # composition across task retries) and the first url is
+            # unique under the pipeline's unique-url input contract, so
+            # a retried batch REPLACES its own file instead of
+            # duplicating rows (at-least-once actor task semantics).
+            key = zlib.crc32(done["url"][0].as_py().encode("utf-8"))
+            name = "finished-%08x-%d.parquet" % (key, done.num_rows)
+            tmp = os.path.join(self.out_dir,
+                               ".%s.%d.tmp" % (name, os.getpid()))
+            pq.write_table(done, tmp)
+            os.replace(tmp, os.path.join(self.out_dir, name))
+        return _split_residue(t)
+
+
+def extract_exploded_to_dir(ds, out_dir: str,
+                            settings: Settings = DEFAULT_SETTINGS,
+                            concurrency: int | tuple | None = None,
+                            shuffle_partitions: int | None = None,
+                            page_batch_size: int = 64,
+                            page_threshold: int = 64) -> None:
+    """Streaming exploded extraction straight to ``out_dir`` parquet.
+
+    The Dataset-returning :func:`extract_exploded` has a wall-time
+    floor of (extraction barrier + unoverlapped output write): a
+    Dataset consumed by two branches must be materialized, so the sink
+    cannot start until the last document is routed (measured 1.47x
+    fused at sf0.1/32cpu, of which ~10.3s is the barrier and ~6.3s the
+    post-barrier filter+write). This variant writes finished rows from
+    INSIDE the routed stage (atomic per-batch part files), so the
+    common-path write overlaps extraction with no barrier, and only
+    true mega-doc page residue pays the page stage, the reassembly
+    all-to-alls, and a second (tiny) parquet write into the same
+    directory. Output rows equal ``extract_exploded``'s (file and row
+    order differ; both are unordered sets, like any parquet sink).
+
+    Same unique-url input contract as :func:`extract_exploded`."""
+    import os
+
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    if concurrency is None:
+        n = max(1, min(ncpu * 3 // 4, ncpu - 2))
+        concurrency = (n, n)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, ncpu // 4)
+    residue = ds.map_batches(
+        ExplodeAssembleSink, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(out_dir=out_dir, settings=settings,
+                                   page_threshold=page_threshold),
+        concurrency=concurrency, num_cpus=1,
+    ).map_batches(
+        process_residue_pages, batch_format="pyarrow",
+        batch_size=page_batch_size, fn_kwargs=dict(settings=settings),
+    )
+    reassembled = residue.repartition(shuffle_partitions) \
+        .groupby("url_shard").map_groups(
+            assemble_group, batch_format="pyarrow",
+            fn_kwargs=dict(settings=settings),
+    )
+    # consuming the residue branch drives the whole stream (the routed
+    # stage's finished-row writes happen as its blocks execute). The
+    # residue gets its OWN subdirectory: Ray's parquet sink deletes a
+    # directory it created when the write turns out empty (the common
+    # no-residue case), which would take the finished part files with
+    # it if they shared the path. read_parquet(out_dir) discovers both
+    # levels.
+    reassembled.write_parquet(os.path.join(out_dir, "residue"))
 
 
 EXPLODED_COLUMNS = ["url", "lang", "title", "text", "references",

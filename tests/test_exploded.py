@@ -212,3 +212,61 @@ def test_exploded_duplicate_url_contract_raises(ray_session, tiny_corpus):
     with _pytest.raises(Exception, match="contract violated"):
         # page_threshold=0 forces the residue path for every doc
         extract_exploded(ds, concurrency=2, page_threshold=0).materialize()
+
+
+def _read_dir_sorted(path):
+    import glob
+    import pandas as pd
+    frames = [pq.read_table(f).to_pandas()
+              for f in sorted(glob.glob(path + "/**/*.parquet",
+                                        recursive=True))]
+    frames = [f for f in frames if len(f)]
+    df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("threshold,batch", [(64, 64), (0, 2), (3, 2)])
+def test_exploded_to_dir_equals_fused(ray_session, corpus_path, tmp_path,
+                                      threshold, batch):
+    """The streaming actor-side-sink variant (finished rows written
+    inside the routed stage, no materialize barrier) must produce the
+    same row set as the fused pipeline, across all-finished (64),
+    all-residue (0) and mixed (3) routing."""
+    from pdfextract_ray.pipelines.exploded import extract_exploded_to_dir
+    from pdfextract_ray.pipelines.extract_pipeline import (extract_dataset,
+                                                           read_corpus)
+    fused = extract_dataset(read_corpus(corpus_path), concurrency=2,
+                            skew_threshold=None).to_pandas()
+    out = str(tmp_path / ("sink_%d" % threshold))
+    extract_exploded_to_dir(read_corpus(corpus_path), out, concurrency=2,
+                            page_threshold=threshold, page_batch_size=batch)
+    got = _read_dir_sorted(out)
+    fused = fused.sort_values("url").reset_index(drop=True)
+    assert list(fused["url"]) == list(got["url"])
+    assert list(fused["text"]) == list(got["text"])
+    assert list(fused["title"].fillna("")) == list(got["title"].fillna(""))
+    assert list(fused["n_pages"]) == list(got["n_pages"])
+    assert list(fused["n_tokens"]) == list(got["n_tokens"])
+    for a, b in zip(fused["references"], got["references"]):
+        assert [(r["content"], r["order"]) for r in a] == \
+               [(r["content"], r["order"]) for r in b]
+
+
+def test_exploded_to_dir_sink_idempotent_name(ray_session, corpus_path,
+                                              tmp_path):
+    """A retried batch must REPLACE its own part file (deterministic
+    content-keyed name), not append a duplicate."""
+    import glob
+    from pdfextract_ray.pipelines.exploded import extract_exploded_to_dir
+    from pdfextract_ray.pipelines.extract_pipeline import read_corpus
+
+    out = str(tmp_path / "sink_idem")
+    extract_exploded_to_dir(read_corpus(corpus_path), out, concurrency=2)
+    first = _read_dir_sorted(out)
+    n_files = len(glob.glob(out + "/finished-*.parquet"))
+    # run again into the same dir: every finished part file must be
+    # rewritten in place (same names), no growth
+    extract_exploded_to_dir(read_corpus(corpus_path), out, concurrency=2)
+    again = _read_dir_sorted(out)
+    assert len(glob.glob(out + "/finished-*.parquet")) == n_files
+    assert list(first["url"]) == list(again["url"])
