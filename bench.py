@@ -62,10 +62,8 @@ def run_bench() -> dict:
     # — resample it (up to BENCH_MAX_RESAMPLE windows) rather than
     # publish a number the protocol would reject; `resampled` records
     # how many windows were discarded.
-    max_attempts = int(os.environ.get("BENCH_MAX_RESAMPLE", "3"))
-    headline = float("inf")
-    steal_pct = None
-    resampled = 0
+    max_attempts = max(1, int(os.environ.get("BENCH_MAX_RESAMPLE", "3")))
+    windows: list[tuple[float, float]] = []  # (steal_pct, sample_sec)
     for attempt in range(max_attempts):
         s0, w0 = _steal_jiffies(), time.time()
         sample = float("inf")
@@ -80,14 +78,18 @@ def run_bench() -> dict:
         if s0 is not None and s1 is not None and w1 > w0:
             capacity = (w1 - w0) * 100.0 * (os.cpu_count() or 32)
             pct = round(100.0 * (s1 - s0) / capacity, 1)
-        if steal_pct is None or pct is None or pct < steal_pct:
-            headline, steal_pct = sample, pct
-        else:
-            headline = min(headline, sample)
+        windows.append((pct, sample))
         if pct is None or pct <= 5.0:
             break
-        resampled = attempt + 1
-        time.sleep(10)  # let the foreign spike pass before retrying
+        if attempt + 1 < max_attempts:
+            time.sleep(10)  # let the foreign spike pass before retrying
+    # the published headline comes from ONE window — the least-stolen —
+    # so steal_pct always describes the window headline was measured in
+    # (a polluted window's sample is discarded, never min()-ed in)
+    steal_pct, headline = min(
+        windows,
+        key=lambda w: (w[0] if w[0] is not None else -1.0, w[1]))
+    resampled = len(windows) - 1
 
     q_times = {}
     if os.environ.get("BENCH_QUERIES", "1") != "0":
@@ -118,9 +120,11 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": int(n_docs),
         "docs_per_sec": round(n_docs / headline, 1),
-        # in-run foreign contention over the HEADLINE window (gating
-        # evidence; queries below run outside this bracket), plus how
-        # many >5%-steal windows were discarded before accepting it
+        # in-run foreign contention over the ONE window the headline
+        # was measured in (gating evidence; queries below run outside
+        # this bracket), plus how many extra windows were sampled
+        # because earlier ones exceeded the 5% steal gate (their
+        # samples are discarded, never mixed into the headline)
         "steal_pct": steal_pct,
         "resampled": resampled,
     }

@@ -250,7 +250,9 @@ def main(argv=None) -> int:
                 else:
                     out = extract_adaptive(
                         ds, settings=settings,
-                        threshold_bytes=args.adaptive_threshold or 64 * 1024)
+                        threshold_bytes=64 * 1024
+                        if args.adaptive_threshold is None
+                        else args.adaptive_threshold)
             elif args.exploded:
                 # streaming actor-side sink: finished rows are written
                 # during extraction (no materialize barrier, measured
@@ -260,10 +262,11 @@ def main(argv=None) -> int:
                     extract_exploded_to_dir
                 extract_exploded_to_dir(ds, args.out, settings=settings,
                                         page_threshold=args.page_threshold)
-                return 0
+                out = None  # already written; fall through to the ok line
             else:
                 out = reg.build(ds, ["xml"] if args.xml else ["extract"], ctx)
-            out.write_parquet(args.out)
+            if out is not None:
+                out.write_parquet(args.out)
         elif args.cmd == "extract-bib":
             reg.build(ds, ["bibtex"], ctx).write_parquet(args.out)
         elif args.cmd == "spans":

@@ -156,7 +156,10 @@ class _BlockCollector(HTMLParser):
 # corpus, and hypothesis-fuzzed HTML, fast vs stdlib, equal output).
 _FAST_STARTTAG_RE = re.compile(
     r'<([a-zA-Z][a-zA-Z0-9]*)'
-    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*"[^"<>]*")?)*)'
+    # every attribute must be name="value": a bare (valueless) attr is
+    # (name, None) to html.parser but invisible to _FAST_ATTR_RE, a
+    # silent parity gap — push <p hidden> etc. down the stdlib bail
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*\s*=\s*"[^"<>]*")*)'
     r'\s*(/?)>')
 _FAST_ENDTAG_RE = re.compile(r'</([a-zA-Z][a-zA-Z0-9]*)\s*>')
 _FAST_ATTR_RE = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*"([^"<>]*)"')

@@ -413,8 +413,13 @@ class ExplodeAssembleSink(ExplodeAssemble):
             # unique under the pipeline's unique-url input contract, so
             # a retried batch REPLACES its own file instead of
             # duplicating rows (at-least-once actor task semantics).
-            key = zlib.crc32(done["url"][0].as_py().encode("utf-8"))
-            name = "finished-%08x-%d.parquet" % (key, done.num_rows)
+            # md5, not crc32: 32-bit names birthday-collide across
+            # DIFFERENT blocks at ~100k blocks (silent row loss at
+            # exactly the corpus sizes this path targets).
+            import hashlib
+            key = hashlib.md5(
+                done["url"][0].as_py().encode("utf-8")).hexdigest()
+            name = "finished-%s-%d.parquet" % (key, done.num_rows)
             tmp = os.path.join(self.out_dir,
                                ".%s.%d.tmp" % (name, os.getpid()))
             pq.write_table(done, tmp)
@@ -474,7 +479,14 @@ def extract_exploded_to_dir(ds, out_dir: str,
     # directory it created when the write turns out empty (the common
     # no-residue case), which would take the finished part files with
     # it if they shared the path. read_parquet(out_dir) discovers both
-    # levels.
+    # levels. Clear any previous run's residue first — finished part
+    # files REPLACE themselves on a same-config rerun (deterministic
+    # names) but Ray's sink appends run-unique names, which would
+    # duplicate mega-doc rows. (A rerun with a DIFFERENT page_threshold
+    # into a non-empty dir can still strand stale finished files; use a
+    # fresh dir when changing routing config.)
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "residue"), ignore_errors=True)
     reassembled.write_parquet(os.path.join(out_dir, "residue"))
 
 

@@ -35,15 +35,12 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, name + ".parquet")
 
 
-def _strip_schema_metadata(t: pa.Table) -> pa.Table:
-    """The driver's testdata parquet embeds ``b'pandas'`` schema
-    metadata, and ``pyarrow.Schema.__hash__`` raises on ANY metadata
-    (unhashable dict) — Ray's ``unify_schemas`` then falls back with a
-    per-worker "Failed to hash the schemas" warning. Reads strip it
-    via the ``schema=`` override (``_clean_schema``); this batch fn
-    re-normalizes pandas-origin blocks right before hash joins (Ray's
-    pandas→arrow conversion re-attaches the metadata)."""
-    return t.replace_schema_metadata(None)
+# the driver's testdata parquet embeds b'pandas' schema metadata;
+# reads strip it via the schema= override (_clean_schema below), and
+# this shared batch fn (one copy, relational.py) re-normalizes
+# pandas-origin blocks right before hash joins / groupbys
+from pdfextract_ray.pipelines.relational import \
+    strip_schema_metadata as _strip_schema_metadata
 
 
 def _clean_schema(path: str, columns=None):

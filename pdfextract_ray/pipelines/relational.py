@@ -105,15 +105,21 @@ def coalesce_for_join(ds: "ray.data.Dataset", n: int | None = None
     """
     if n is None:
         n = max(2, join_partitions() // 4)
-    return ds.map_batches(_strip_meta, batch_size=None,
+    return ds.map_batches(strip_schema_metadata, batch_size=None,
                           batch_format="pyarrow").repartition(n).materialize()
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    # pa.Schema.__hash__ raises on ANY metadata; pandas-origin blocks
-    # re-attach b'pandas' — normalize so join schema unification stays
-    # hashable (same role as queries._strip_schema_metadata).
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop table-level schema metadata (batch fn for map_batches).
+
+    ``pyarrow.Schema.__hash__`` raises on ANY metadata (unhashable
+    dict) — Ray's ``unify_schemas`` then falls back with a per-worker
+    "Failed to hash the schemas" warning, and hash joins reject the
+    blocks. Pandas-origin blocks re-attach ``b'pandas'`` metadata, so
+    re-normalize right before any groupby/join over them. (The single
+    shared copy of this helper — queries.py imports it.)"""
     return t.replace_schema_metadata(None)
+
 
 
 def q1_pricing(sf_dir: str) -> "ray.data.Dataset":

@@ -9,7 +9,17 @@
 # no best-of-N selection.
 #
 # Usage: bash tools/scaling_campaign.sh [max_attempts]   (default 6)
+#
+# SCALE_REPEAT (default 16) sets the per-level workload multiplier.
+# The north rule's criterion models a LONG job on two cluster sizes,
+# where per-job fixed cost (ray.init + actor-pool spawn, ~1-2 s) is
+# negligible; in this sandbox the wide level's window is short enough
+# that the fixed cost alone eats ~4% apparent efficiency at x16. A
+# larger repeat is therefore the MORE faithful stand-in — the trade is
+# longer exposure to foreign-load spikes, which the per-level in-run
+# steal gate already rejects.
 LOG=${SCALING_CAMPAIGN_LOG:-/tmp/scaling_campaign.jsonl}
+SCALE_REPEAT=${SCALE_REPEAT:-16}
 for attempt in $(seq 1 "${1:-6}"); do
   while true; do
     L=$(awk '{print $1}' /proc/loadavg)
@@ -20,7 +30,7 @@ for attempt in $(seq 1 "${1:-6}"); do
     [ "$ok" = "1" ] && break
     sleep 40
   done
-  BENCH_SCALE_REPEAT=16 python3 "$(dirname "$0")/../bench.py" --scaling \
+  BENCH_SCALE_REPEAT=$SCALE_REPEAT python3 "$(dirname "$0")/../bench.py" --scaling \
     > /tmp/scal_attempt.json 2>/dev/null
   cat /tmp/scal_attempt.json >> "$LOG"; echo >> "$LOG"
   CLEAN=$(python3 - <<'PY'
