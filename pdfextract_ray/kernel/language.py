@@ -104,7 +104,9 @@ def year_ratio(s: str) -> float:
     # language.rb:63-71 — words containing a 4-digit run flanked by
     # non-digits WITHIN the word (so "(2004)" counts, bare "2004" doesn't).
     words = s.split()
-    n = sum(1 for w in words if _YEAR_RE.search(w))
+    # C-speed filter+search (no per-word generator frame) — identical
+    # predicate, ~5% of kernel time in the 400-doc profile
+    n = len(list(filter(_YEAR_RE.search, words)))
     return _ruby_div(n, float(len(words)))
 
 
