@@ -24,20 +24,36 @@ class MultiRange:
         # multi_range.rb:10-27 — collect incident ranges (sharing at least
         # one endpoint-inclusive overlap), merge them with the new range,
         # append the merged range after the surviving non-incident ones.
-        if not self.ranges:
-            self.ranges.append((lo, hi))
+        ranges = self.ranges
+        if not ranges:
+            ranges.append((lo, hi))
             return
-        incident = []
+        if len(ranges) == 1:
+            # dominant case (single-column text): merged-or-appended in
+            # place, same order as the general path ([merged] vs
+            # [old, new])
+            rlo, rhi = ranges[0]
+            if (rlo <= lo <= rhi) or (rlo <= hi <= rhi) \
+                    or (lo <= rlo <= hi) or (lo <= rhi <= hi):
+                ranges[0] = (rlo if rlo < lo else lo,
+                             rhi if rhi > hi else hi)
+            else:
+                ranges.append((lo, hi))
+            return
+        # general path: merged bounds accumulate inline (identical to
+        # min/max over the incident set including the new range)
+        mlo, mhi = lo, hi
         non_incident = []
-        for r in self.ranges:
+        for r in ranges:
             rlo, rhi = r
             if (rlo <= lo <= rhi) or (rlo <= hi <= rhi) or (lo <= rlo <= hi) or (lo <= rhi <= hi):
-                incident.append(r)
+                if rlo < mlo:
+                    mlo = rlo
+                if rhi > mhi:
+                    mhi = rhi
             else:
                 non_incident.append(r)
-        incident.append((lo, hi))
-        merged = (min(r[0] for r in incident), max(r[1] for r in incident))
-        non_incident.append(merged)
+        non_incident.append((mlo, mhi))
         self.ranges = non_incident
 
     @property

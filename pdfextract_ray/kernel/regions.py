@@ -109,6 +109,15 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
     h = 0
     compare_index = 1  # relative to h
     n = len(chunks)
+    # parallel hot-field lists: the scan reads each candidate's
+    # y/height/x/width once per iteration, and list indexing beats four
+    # dict lookups; entries for non-head chunks never change (merges
+    # only mutate chunks[h], whose fields are cached from the dict), so
+    # the lists just mirror the dels
+    c_y = [c["y"] for c in chunks]
+    c_h = [c["height"] for c in chunks]
+    c_x = [c["x"] for c in chunks]
+    c_w = [c["width"] for c in chunks]
     # b (= chunks[h]) only changes on merge/flush — cache its hot fields
     b = chunks[0] if chunks else None
     b_lh = b_top = b_x1 = b_x2 = b_reach = 0.0
@@ -129,24 +138,25 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
                 if line_slop_setting >= 0 else float("inf")
             fresh_b = False
 
-        t = chunks[h + compare_index]
-        if b_reach < t["y"]:
+        j = h + compare_index
+        t_y = c_y[j]
+        if b_reach < t_y:
             regions.append(b)
             h += 1
             compare_index = 1
             b = chunks[h] if h < n else None
             fresh_b = True
             continue
-        t_h = t["height"]
+        t_h = c_h[j]
         line_slop = (b_lh if b_lh < t_h else t_h) * line_slop_setting
 
-        if (b_top + line_slop) >= t["y"]:
-            t_x1 = t["x"]
-            t_x2 = t_x1 + t["width"]
+        if (b_top + line_slop) >= t_y:
+            t_x1 = c_x[j]
+            t_x2 = t_x1 + c_w[j]
             if (t_x1 <= b_x1 <= t_x2) or (t_x1 <= b_x2 <= t_x2) \
                     or (b_x1 <= t_x1 <= b_x2) or (b_x1 <= t_x2 <= b_x2):
-                b = chunks[h] = _merge_regions(t, b)
-                del chunks[h + compare_index]
+                b = chunks[h] = _merge_regions(chunks[j], b)
+                del chunks[j], c_y[j], c_h[j], c_x[j], c_w[j]
                 n -= 1
                 compare_index = 1
                 fresh_b = True
