@@ -127,9 +127,23 @@ def run_bench() -> dict:
         # samples are discarded, never mixed into the headline)
         "steal_pct": steal_pct,
         "resampled": resampled,
+        # 1-min loadavg at completion: a SUPPLEMENTARY foreign-spike
+        # diagnostic — round-4 observed a wide-level window suppressed
+        # ~14% at only 1.7% steal while loadavg hit 6.5 (the steal
+        # counter under-detects memory-bandwidth contention). Recorded,
+        # not gated on (the acceptance rule stays as pre-registered).
+        "loadavg_1m": _loadavg_1m(),
     }
     ray.shutdown()
     return result
+
+
+def _loadavg_1m() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return None
 
 
 def run_scaling() -> dict:
@@ -169,6 +183,8 @@ def run_scaling() -> dict:
         # with foreign demand, so gate each level on ITS OWN window
         "steal_pct_%d" % lo_cpu: lo.get("steal_pct"),
         "steal_pct_%d" % hi_cpu: hi.get("steal_pct"),
+        "loadavg_%d" % lo_cpu: lo.get("loadavg_1m"),
+        "loadavg_%d" % hi_cpu: hi.get("loadavg_1m"),
         "docs": lo["docs"],
         "sf": SF_DIR,
     }
