@@ -26,22 +26,6 @@ def _incident(l: dict, r: dict) -> bool:
     return (lx1 <= rx1 <= lx2) or (lx1 <= rx2 <= lx2) or (rx1 <= lx1 <= rx2) or (rx1 <= lx2 <= rx2)
 
 
-def _append_line_offsets(region: dict) -> None:
-    # regions.rb:27-33
-    for line in region.setdefault("lines", []):
-        line["x_offset"] = line["x"] - region["x"]
-        line["y_offset"] = line["y"] - region["y"]
-
-
-def _append_line_spacing(region: dict) -> None:
-    # regions.rb:35-43
-    height_taken = 0.0
-    for line in region.setdefault("lines", []):
-        from_top = region["height"] - (line["y_offset"] + line["height"])
-        line["spacing"] = from_top - height_taken
-        height_taken = from_top + line["height"]
-
-
 def _tc_term(content: str) -> int:
     # one line's contribution to get_text_content length (spatial.rb:98-109):
     # hyphen-ending lines join with the hyphen elided, others add a space
@@ -49,9 +33,11 @@ def _tc_term(content: str) -> int:
 
 
 def _tc_len(region: dict) -> int:
-    # total text-content length; the trailing space of a non-hyphen final
-    # line is stripped
-    return region["_tcS"] - (0 if region["lines"][-1]["content"].endswith("-") else 1)
+    # total text-content length; the trailing space of a non-hyphen FINAL
+    # (= bottom-most, top-first order) line is stripped. Lines are stored
+    # bottom-first inside build_regions (see _merge_regions), so the
+    # final line is index 0.
+    return region["_tcS"] - (0 if region["lines"][0]["content"].endswith("-") else 1)
 
 
 def _merge_regions(t: dict, b: dict) -> dict:
@@ -63,7 +49,15 @@ def _merge_regions(t: dict, b: dict) -> dict:
     ``b`` to the result): both sides carry the identical key set, and
     the reference's ``{**t, **b}`` merge keeps b's values for every
     shared key, so in-place update of b is value-identical without the
-    per-merge dict copy."""
+    per-merge dict copy.
+
+    Line-order invariant: ``t`` is always a single-line candidate (the
+    scan only ever merges INTO the head ``b``; candidates are untouched
+    originals), and the reference puts t's lines BEFORE b's (top-first).
+    Storing the accumulator's lines bottom-first turns that prepend into
+    an O(1) ``append`` — the reference's ``t.lines + b.lines`` copies
+    the accumulated list on every merge, O(k²) per k-line region. The
+    flush pass in build_regions restores top-first order."""
     if t["x"] < b["x"]:
         blx = t["x"]
     else:
@@ -79,7 +73,7 @@ def _merge_regions(t: dict, b: dict) -> dict:
     b["y"] = bly
     b["width"] = trx - blx
     b["height"] = try_ - bly
-    b["lines"] = t["lines"] + b["lines"]
+    b["lines"].append(t["lines"][0])
     b["_tcS"] = t["_tcS"] + b["_tcS"]
     return b
 
@@ -93,8 +87,10 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
     # sequential bisect_left insertion puts each later equal-y chunk
     # BEFORE earlier ones, i.e. equal-y runs end up in reversed input
     # order — exactly the stable sort by (y, -input_index), O(n log n)
-    order = sorted(range(len(page_chunks)),
-                   key=lambda i: (page_chunks[i]["y"], -i))
+    # stable sort over REVERSED indices by y alone ≡ sort by (y, -i)
+    # without building a key tuple per chunk
+    order = sorted(range(len(page_chunks) - 1, -1, -1),
+                   key=lambda i: page_chunks[i]["y"])
     chunks: list[dict] = [dict(page_chunks[i]) for i in order]
 
     # chunks become single-line carriers (regions.rb:70-74)
@@ -175,16 +171,23 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
 
     for region in regions:
         region.pop("_tcS", None)
-        _append_line_offsets(region)
-        _append_line_spacing(region)
-        # specialized drop_spatial: lines here carry exactly the as_line
-        # keys + offsets/spacing, so the generic key-filter dictcomp
-        # (spatial.rb:20-22) reduces to this projection — same keys, same
-        # insertion order (content, x_offset, y_offset, spacing)
-        region["lines"] = [
-            {"content": l["content"], "x_offset": l["x_offset"],
-             "y_offset": l["y_offset"], "spacing": l["spacing"]}
-            for l in region["lines"]]
+        # fused line offsets (regions.rb:27-33) + spacing (regions.rb:35-43)
+        # + specialized drop_spatial (spatial.rb:20-22 reduces to this projection —
+        # same keys, same insertion order: content, x_offset, y_offset,
+        # spacing) in ONE pass, iterating the bottom-first accumulator
+        # in reverse to restore the reference's top-first line order
+        rx = region["x"]
+        ry = region["y"]
+        rh = region["height"]
+        height_taken = 0.0
+        out = []
+        for l in reversed(region["lines"]):
+            y_off = l["y"] - ry
+            from_top = rh - (y_off + l["height"])
+            out.append({"content": l["content"], "x_offset": l["x"] - rx,
+                        "y_offset": y_off, "spacing": from_top - height_taken})
+            height_taken = from_top + l["height"]
+        region["lines"] = out
 
     regions.sort(key=lambda obj: -obj["y"])  # stable, regions.rb:111
     return regions
