@@ -26,7 +26,9 @@ decode via html.parser.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from html.parser import HTMLParser
+from itertools import accumulate
 
 PAGE_WIDTH = 612.0
 PAGE_HEIGHT = 792.0
@@ -258,7 +260,16 @@ def _wrap_words(words: list[str], width: float, cont_width: float,
     ``char_w`` (char_w ∈ {k/2} and word widths are int×char_w, both
     exactly representable), so ``used + need <= budget`` ⟺
     ``chars_used + chars_need <= floor(budget/char_w)`` — proven
-    equivalent by the differential test against the float loop."""
+    equivalent by the differential test against the float loop.
+
+    The greedy word loop collapses to ONE bisect per line: with
+    ``A[j] = Σ_{k≤j} (len(words[k]) + 1)``, the line starting at ``s``
+    holds words ``s..e-1`` where ``e`` is the first index with
+    ``A[e] > A[s-1] + budget + 1`` (the +1 cancels the uncounted
+    leading space). Hyphenation shortens ``words[s]`` in place; instead
+    of rebuilding the prefix sums, the constant shortfall is carried in
+    ``adj`` (every later ``A[j]`` overstates by exactly the total
+    chars hyphenated off so far)."""
     if space_w == char_w:
         # kmax = largest k with k*char_w <= budget, robust at the float
         # boundary (k*char_w is exact, so the <= check is exact)
@@ -272,38 +283,35 @@ def _wrap_words(words: list[str], width: float, cont_width: float,
             kmax_cont += 1
         elif kmax_cont * char_w > cont_width:
             kmax_cont -= 1
-        lines: list[list[str]] = []
-        cur: list[str] = []
-        budget_k = kmax
-        used_k = 0
-        i = 0
         n = len(words)
+        prefix = list(accumulate(len(w) + 1 for w in words))
+        lines: list[list[str]] = []
+        s = 0
+        prev = 0  # effective A[s-1]
+        adj = 0   # chars hyphenated off so far (A[j] - adj is effective)
+        budget_k = kmax
         copied = False
-        while i < n:
-            w = words[i]
-            need = len(w) + (1 if cur else 0)
-            if used_k + need <= budget_k:
-                cur.append(w)
-                used_k += need
-                i += 1
-            elif not cur:
-                fit = max(1, budget_k - used_k - 1)
+        while s < n:
+            e = bisect_right(prefix, prev + adj + budget_k + 1, s)
+            if e > s:
+                lines.append(words[s:e])
+                prev = prefix[e - 1] - adj
+                s = e
+            else:
+                # oversized word on an empty line → hyphenate to fit
+                w = words[s]
+                fit = budget_k - 1
+                if fit < 1:
+                    fit = 1
                 if fit >= len(w):
                     fit = len(w) - 1
                 lines.append([w[:fit] + "-"])
                 if not copied:
                     words = list(words)
                     copied = True
-                words[i] = w[fit:]
-                used_k = 0
-                budget_k = kmax_cont
-            else:
-                lines.append(cur)
-                cur = []
-                used_k = 0
-                budget_k = kmax_cont
-        if cur:
-            lines.append(cur)
+                words[s] = w[fit:]
+                adj += fit
+            budget_k = kmax_cont
         return lines
     return _wrap_words_float(words, width, cont_width, char_w, space_w)
 
