@@ -32,50 +32,16 @@ def _tc_term(content: str) -> int:
     return len(content) - 1 if content.endswith("-") else len(content) + 1
 
 
-def _tc_len(region: dict) -> int:
-    # total text-content length; the trailing space of a non-hyphen FINAL
-    # (= bottom-most, top-first order) line is stripped. Lines are stored
-    # bottom-first inside build_regions (see _merge_regions), so the
-    # final line is index 0.
-    return region["_tcS"] - (0 if region["lines"][0]["content"].endswith("-") else 1)
-
-
-def _merge_regions(t: dict, b: dict) -> dict:
-    """spatial.merge(t, b, lines=True) with cached text lengths — the
-    dominant-font rule (spatial.rb:63-69) needs only the LENGTHS of both
-    sides' text content, which accumulate additively over lines.
-
-    Mutates and returns ``b`` (the caller discards ``t`` and rebinds
-    ``b`` to the result): both sides carry the identical key set, and
-    the reference's ``{**t, **b}`` merge keeps b's values for every
-    shared key, so in-place update of b is value-identical without the
-    per-merge dict copy.
-
-    Line-order invariant: ``t`` is always a single-line candidate (the
-    scan only ever merges INTO the head ``b``; candidates are untouched
-    originals), and the reference puts t's lines BEFORE b's (top-first).
-    Storing the accumulator's lines bottom-first turns that prepend into
-    an O(1) ``append`` — the reference's ``t.lines + b.lines`` copies
-    the accumulated list on every merge, O(k²) per k-line region. The
-    flush pass in build_regions restores top-first order."""
-    if t["x"] < b["x"]:
-        blx = t["x"]
-    else:
-        blx = b["x"]
-    bly = t["y"] if t["y"] < b["y"] else b["y"]
-    trx = max(t["x"] + t["width"], b["x"] + b["width"])
-    try_ = max(t["y"] + t["height"], b["y"] + b["height"])
-
-    if _tc_len(t) > _tc_len(b):  # before _tcS accumulates
-        b["font"] = t["font"]
-        b["line_height"] = t["line_height"]
-    b["x"] = blx
-    b["y"] = bly
-    b["width"] = trx - blx
-    b["height"] = try_ - bly
-    b["lines"].append(t["lines"][0])
-    b["_tcS"] = t["_tcS"] + b["_tcS"]
-    return b
+# The merge itself (spatial.merge(t, b, lines=True), spatial.rb:42-76) is
+# applied INLINE on cached locals inside build_regions' scan loop; the
+# dominant-font rule (spatial.rb:63-69) needs only the LENGTHS of both
+# sides' text content, which accumulate additively over lines:
+# _tc_len(side) = side._tcS - (0 if its FINAL line ends with '-' else 1),
+# and the final (= bottom-most) line is the accumulator's lines[0],
+# because lines are stored bottom-first — the reference's top-first
+# prepend (t.lines + b.lines) copies the accumulated list every merge,
+# O(k²) per k-line region; a bottom-first append is O(1) and the flush
+# pass restores top-first order.
 
 
 def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
@@ -93,10 +59,17 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
                    key=lambda i: page_chunks[i]["y"])
     chunks: list[dict] = [dict(page_chunks[i]) for i in order]
 
-    # chunks become single-line carriers (regions.rb:70-74)
+    # chunks become single-line carriers (regions.rb:70-74).
+    # c_tc mirrors _tc_len for the (always single-line) candidates: the
+    # dominant-font rule only ever compares a candidate's adjusted text
+    # length against the accumulator's, so both are precomputed once.
+    c_tc: list[int] = []
     for chunk in chunks:
         chunk["lines"] = [spatial.as_line(chunk)]
-        chunk["_tcS"] = _tc_term(chunk["content"])
+        content = chunk["content"]
+        ts = _tc_term(content)
+        chunk["_tcS"] = ts
+        c_tc.append(ts - (0 if content.endswith("-") else 1))
         del chunk["content"]
 
     regions: list[dict] = []
@@ -114,16 +87,30 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
     c_h = [c["height"] for c in chunks]
     c_x = [c["x"] for c in chunks]
     c_w = [c["width"] for c in chunks]
-    # b (= chunks[h]) only changes on merge/flush — cache its hot fields
+    # b (= chunks[h]) only changes on merge/flush — its hot fields live
+    # in locals, and merges are applied INLINE to the locals (the
+    # _merge_regions body, float-operation-identical: every bbox value
+    # round-trips through width/height exactly as the dict-based merge
+    # does, so IEEE results match the reference bit-for-bit — guarded by
+    # the differential property test vs the literal naive scan). The
+    # dict is only written back on flush, and only when dirty.
     b = chunks[0] if chunks else None
-    b_lh = b_top = b_x1 = b_x2 = b_reach = 0.0
+    b_lh = b_top = b_x1 = b_x2 = b_reach = b_y = b_w = b_h = 0.0
+    b_tcS = b_sub = 0
+    b_dirty = False
     fresh_b = True
     while n - h > compare_index:
         if fresh_b:
             b_lh = b["line_height"]
-            b_top = b["y"] + b["height"]
+            b_y = b["y"]
+            b_w = b["width"]
+            b_h = b["height"]
+            b_top = b_y + b_h
             b_x1 = b["x"]
-            b_x2 = b_x1 + b["width"]
+            b_x2 = b_x1 + b_w
+            b_tcS = b["_tcS"]
+            b_sub = b_tcS - c_tc[h]  # head is always an untouched chunk
+            b_dirty = False
             # pruning bound: chunks[h+1:] stay ascending in y, and the slop
             # is at most b_lh*line_slop (min(b_lh, t_h) <= b_lh) — once a
             # candidate's y exceeds this reach, no later candidate can be
@@ -137,6 +124,10 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
         j = h + compare_index
         t_y = c_y[j]
         if b_reach < t_y:
+            if b_dirty:
+                b["x"] = b_x1
+                b["width"] = b_w
+                b["height"] = b_h
             regions.append(b)
             h += 1
             compare_index = 1
@@ -151,15 +142,42 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
             t_x2 = t_x1 + c_w[j]
             if (t_x1 <= b_x1 <= t_x2) or (t_x1 <= b_x2 <= t_x2) \
                     or (b_x1 <= t_x1 <= b_x2) or (b_x1 <= t_x2 <= b_x2):
-                b = chunks[h] = _merge_regions(chunks[j], b)
-                del chunks[j], c_y[j], c_h[j], c_x[j], c_w[j]
+                # inline spatial.merge(t, b, lines=True) on the locals.
+                # t is a single-line untouched original; bly = b_y always
+                # (candidates stay ascending in y, so t_y >= the head's
+                # original y, which merges never lower).
+                t = chunks[j]
+                if c_tc[j] > b_tcS - b_sub:  # dominant-font rule
+                    b["font"] = t["font"]
+                    b_lh = t["line_height"]
+                    b["line_height"] = b_lh
+                blx = t_x1 if t_x1 < b_x1 else b_x1
+                trx = t_x2 if t_x2 > b_x2 else b_x2
+                t_top = t_y + t_h
+                try_ = t_top if t_top > b_top else b_top
+                b_w = trx - blx
+                b_h = try_ - b_y
+                # round-trip through width/height like the dict merge:
+                # the NEXT merge reads x+width / y+height, not trx/try_
+                b_x1 = blx
+                b_x2 = blx + b_w
+                b_top = b_y + b_h
+                b["lines"].append(t["lines"][0])
+                b_tcS += t["_tcS"]
+                b_dirty = True
+                b_reach = (b_top + b_lh * line_slop_setting) \
+                    if line_slop_setting >= 0 else float("inf")
+                del chunks[j], c_y[j], c_h[j], c_x[j], c_w[j], c_tc[j]
                 n -= 1
                 compare_index = 1
-                fresh_b = True
                 continue
         if compare_index < n - h - 1:
             compare_index += 1
         else:
+            if b_dirty:
+                b["x"] = b_x1
+                b["width"] = b_w
+                b["height"] = b_h
             regions.append(b)
             h += 1
             compare_index = 1
@@ -167,6 +185,10 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
             fresh_b = True
 
     if h < n:
+        if b_dirty and not fresh_b:
+            b["x"] = b_x1
+            b["width"] = b_w
+            b["height"] = b_h
         regions.append(chunks[h])
 
     for region in regions:
