@@ -154,6 +154,24 @@ def build_chunks_from_lines(lines: list[dict], settings: Settings) -> list[dict]
 
     text_chunks: list[dict] = []
     for row, _ in rows.values():
+        if len(row) == 1:
+            # single-line row: the sweep degenerates to one chunk whose
+            # fields are the line's, with width/height round-tripped
+            # through the accumulator's (x+w)-x / (y+h)-y float path so
+            # the result is bit-identical to _LineAcc(...).to_chunk()
+            l = row[0]
+            x = l["x"]
+            y = l["y"]
+            text_chunks.append({
+                "x": x, "y": y,
+                "width": (x + l["width"]) - x,
+                "height": (y + l["height"]) - y,
+                "content": l["content"],
+                "font": l["font"], "line_height": l["line_height"],
+                "page": l["page"], "page_width": l["page_width"],
+                "page_height": l["page_height"],
+            })
+            continue
         acc = _LineAcc(row[0])
         char_width = row[0]["char_w"]
         for k in range(1, len(row)):
