@@ -284,7 +284,7 @@ def _wrap_words(words: list[str], width: float, cont_width: float,
         elif kmax_cont * char_w > cont_width:
             kmax_cont -= 1
         n = len(words)
-        prefix = list(accumulate(len(w) + 1 for w in words))
+        prefix = list(accumulate([len(w) + 1 for w in words]))
         lines: list[list[str]] = []
         s = 0
         prev = 0  # effective A[s-1]
