@@ -77,10 +77,14 @@ _UPPERS_RE = re.compile(r"[A-Z]")
 _EXEMPT_RE = re.compile(r"(?:\A|\.)[\s.]*[A-Z]")
 
 
-def cap_ratio(s: str) -> float:
+def cap_ratio(s: str, n_words: int | None = None) -> float:
     # language.rb:45-61 — caps not at sentence start, per word.
+    # ``n_words`` lets a caller that already split ``s`` skip the re-split
+    # (must equal len(s.split())).
     cap_count = len(_UPPERS_RE.findall(s)) - len(_EXEMPT_RE.findall(s))
-    return _ruby_div(cap_count, float(len(s.split())))
+    if n_words is None:
+        n_words = len(s.split())
+    return _ruby_div(cap_count, float(n_words))
 
 
 def cap_ratio_scan(s: str) -> float:
@@ -100,10 +104,13 @@ def cap_ratio_scan(s: str) -> float:
     return _ruby_div(cap_count, float(len(s.split())))
 
 
-def year_ratio(s: str) -> float:
+def year_ratio(s: str, words: list[str] | None = None) -> float:
     # language.rb:63-71 — words containing a 4-digit run flanked by
     # non-digits WITHIN the word (so "(2004)" counts, bare "2004" doesn't).
-    words = s.split()
+    # ``words`` lets a caller that already split ``s`` skip the re-split
+    # (must equal s.split()).
+    if words is None:
+        words = s.split()
     # C-speed filter+search (no per-word generator frame) — identical
     # predicate, ~5% of kernel time in the 400-doc profile
     n = len(list(filter(_YEAR_RE.search, words)))

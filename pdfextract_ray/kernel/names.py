@@ -65,30 +65,52 @@ def _query_form(word: str) -> str:
 class NamesDatabase:
     """Gazetteer-backed detector (names.rb:9-50) — the default."""
 
+    # word-weight memo shared ACROSS calls: the weight is a pure function
+    # of (word, gazetteer), the extraction actor passes the same
+    # gazetteer object for its whole life, and prose repeats words
+    # heavily across documents too. Keyed by gazetteer IDENTITY (a
+    # different dict resets the memo); bounded against pathological
+    # vocabularies.
+    _memo_gaz: dict | None = None
+    _memo: dict[str, float] = {}
+    _MEMO_MAX = 1_000_000
+
     @staticmethod
-    def detect_names(content: str, gazetteer: dict[str, bool] | None = None) -> float:
-        words = content.split()
+    def detect_names(content: str, gazetteer: dict[str, bool] | None = None,
+                     words: list[str] | None = None) -> float:
+        # ``words`` lets a caller that already split ``content`` skip the
+        # re-split (must equal content.split())
+        if words is None:
+            words = content.split()
+        if not words:
+            return 0.0
         gazetteer = gazetteer or {}
-        total = 0.0
-        # per-call memo: the weight is a pure function of the word, and
-        # prose repeats words heavily — skips the capitalize+lookup
-        memo: dict[str, float] = {}
-        for word in words:
-            w = memo.get(word)
-            if w is None:
-                # names.rb:29-35: downcase → capitalize → upcase-after-
-                # hyphen. Python str.capitalize() == Ruby
-                # downcase+capitalize; the hyphen pass only matters when
-                # a hyphen is present.
-                q = word.capitalize()
-                if "-" in q:
-                    q = _HYPHEN_CAP_RE.sub(
-                        lambda m: "-" + m.group(1).upper(), q)
-                amb = gazetteer.get(q)
-                w = 0.0 if amb is None else \
-                    (AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT)
-                memo[word] = w
-            total += w
+        if NamesDatabase._memo_gaz is not gazetteer:
+            NamesDatabase._memo_gaz = gazetteer
+            NamesDatabase._memo = {}
+        memo = NamesDatabase._memo
+        try:
+            # warm path: every word already weighted — one C-speed pass,
+            # float additions in the same word order as the scalar loop
+            total = sum(map(memo.get, words))
+        except TypeError:
+            # at least one unseen word: seed the memo, then re-sum
+            if len(memo) > NamesDatabase._MEMO_MAX:
+                memo.clear()
+            for word in words:
+                if word not in memo:
+                    # names.rb:29-35: downcase → capitalize → upcase-
+                    # after-hyphen. Python str.capitalize() == Ruby
+                    # downcase+capitalize; the hyphen pass only matters
+                    # when a hyphen is present.
+                    q = word.capitalize()
+                    if "-" in q:
+                        q = _HYPHEN_CAP_RE.sub(
+                            lambda m: "-" + m.group(1).upper(), q)
+                    amb = gazetteer.get(q)
+                    memo[word] = 0.0 if amb is None else \
+                        (AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT)
+            total = sum(map(memo.get, words))
         if total == 0:
             return 0.0
         return total / float(len(words))
@@ -171,11 +193,16 @@ def get_detector():
 
 
 def detect_names(content: str, gazetteer: dict[str, bool],
-                 backend: str | None = None) -> float:
+                 backend: str | None = None,
+                 words: list[str] | None = None) -> float:
     """Return name_frequency for ``content`` via the active detector
     (names.rb:84-86). ``backend`` (from ``Settings.names_backend``)
     overrides the process-local default when given — that is the path
     that works inside Ray workers. The default ``NamesDatabase`` path
-    is the byte-identical live-path math."""
+    is the byte-identical live-path math. ``words`` (an already-computed
+    ``content.split()``) is forwarded only to the in-process gazetteer
+    backend — pluggable detectors keep the 2-arg contract."""
     det = _detector if backend is None else resolve_detector(backend)
+    if words is not None and det is NamesDatabase:
+        return det.detect_names(content, gazetteer, words)
     return det.detect_names(content, gazetteer)

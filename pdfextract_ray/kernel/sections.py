@@ -70,13 +70,18 @@ def _add_content_stats(sections: list[dict], page_count: int,
         last_page = max(c["page"] for c in section["components"])
         content = spatial.get_text_content(section)
         stats = spatial.drop_spatial(section)
+        # split once — year/cap/name/word_count all consume the same
+        # content.split() (language.rb splits per scalar; values identical)
+        words = content.split()
+        n_words = len(words)
         stats.update({
             "letter_ratio": language.letter_ratio(content),
-            "year_ratio": language.year_ratio(content),
-            "cap_ratio": language.cap_ratio(content),
+            "year_ratio": language.year_ratio(content, words),
+            "cap_ratio": language.cap_ratio(content, n_words),
             "name_ratio": names.detect_names(content, gazetteer,
-                                             backend=names_backend),
-            "word_count": language.word_count(content),
+                                             backend=names_backend,
+                                             words=words),
+            "word_count": n_words,
             "lateness": last_page / float(page_count),
         })
         out.append(stats)
