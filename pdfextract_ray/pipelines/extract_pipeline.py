@@ -205,7 +205,15 @@ def run_extract(corpus_path: str, out_dir: str, *,
         sdir = mf.shard_data_dir(out_dir, shard)
         out.write_parquet(sdir)
 
-        metrics = _shard_metrics(sdir) if compute_metrics else []
+        # Ray's parquet sink DELETES the directory it created when zero
+        # rows were written (an empty input file makes an empty shard) —
+        # a manifest with rows=0 must still land so resume skips the shard
+        if not os.path.isdir(sdir):
+            metrics = []
+        elif compute_metrics:
+            metrics = _shard_metrics(sdir)
+        else:
+            metrics = []
         rows = int(sum(m["rows"] for m in metrics))
         errors = int(sum(m["errors"] for m in metrics))
         mf.write_shard_metrics(out_dir, shard, metrics)

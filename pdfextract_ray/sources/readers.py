@@ -87,11 +87,25 @@ def read_jsonl_corpus(path: str, *, url_field: str = "url",
         if url_field not in names:
             raise ValueError(f"JSONL corpus is missing the '{url_field}' field")
         url = t[url_field].cast(pa.string())
+        # a null url cannot be partitioned/deduped — drop the row, but
+        # never silently: log the count and offset context
+        n_null_url = url.null_count
+        if n_null_url:
+            _LOG.warning("JSONL corpus: dropping %d row(s) with null '%s'",
+                         n_null_url, url_field)
+            keep = pc.is_valid(url)
+            t = t.filter(keep)
+            url = url.filter(keep)
+            n = t.num_rows
 
         if html_field in names:
             col = t[html_field]
             html = col.cast(pa.binary()) if not pa.types.is_binary(col.type) \
                 else col.combine_chunks()
+            # rows missing the field parse as null — normalize to b"" so
+            # downstream html_size/extraction see an empty doc, not None
+            if html.null_count:
+                html = pc.fill_null(html, b"")
         else:
             html = pa.array([b""] * n, pa.binary())
 

@@ -65,6 +65,22 @@ def test_jsonl_text_only_and_remap(ray_session, tmp_path):
     assert t["text"].iloc[3] == "hello world 3"
 
 
+def test_jsonl_null_url_dropped_null_html_filled(ray_session, tmp_path):
+    # rows with a null url can't be partitioned/deduped → dropped (logged);
+    # rows missing html parse as null → normalized to b"" (a null html
+    # would reach url_partition/extraction as None)
+    p = str(tmp_path / "sparse.jsonl")
+    _write_jsonl(p, [
+        {"url": "u://0", "html": "<p>a</p>", "text": "a"},
+        {"url": None, "html": "<p>ghost</p>", "text": "ghost"},
+        {"url": "u://2", "text": "no html field"},
+    ])
+    t = read_jsonl_corpus(p).to_pandas().sort_values("url").reset_index(drop=True)
+    assert t["url"].tolist() == ["u://0", "u://2"]
+    assert t["html"].tolist() == [b"<p>a</p>", b""]
+    assert t["html_size"].tolist() == [8, 0]
+
+
 def test_jsonl_missing_url_raises(ray_session, tmp_path):
     p = str(tmp_path / "nourl.jsonl")
     _write_jsonl(p, [{"text": "orphan"}])

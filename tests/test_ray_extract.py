@@ -156,3 +156,24 @@ def test_dedup_by_url_idempotent_reruns(ray_session, corpus_path):
     deduped = dedup_by_url(out).to_pandas()
     assert len(deduped) == 48
     assert deduped["url"].is_unique
+
+
+def test_empty_input_shard_completes_and_resumes(ray_session, tiny_corpus, tmp_path):
+    """A shard whose input file is EMPTY writes zero rows; Ray's parquet
+    sink then deletes the shard dir it created. The run must still write
+    a rows=0 manifest (not crash in the metrics read-back) and a resumed
+    run must skip the empty shard like any other."""
+    from pdfextract_ray.pipelines.extract_pipeline import run_extract
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(tiny_corpus.slice(0, 8), str(d / "part-0.parquet"))
+    pq.write_table(tiny_corpus.slice(0, 0), str(d / "part-1.parquet"))
+    out = str(tmp_path / "out")
+    s = run_extract(str(d), out, num_shards=2, concurrency=1)
+    assert s["rows"] == 8 and s["errors"] == 0
+    from pdfextract_ray.state import manifest as mf
+    man = mf.read_manifests(out)
+    assert set(man) == {0, 1}
+    assert sorted(m["rows"] for m in man.values()) == [0, 8]
+    s2 = run_extract(str(d), out, num_shards=2, concurrency=1)
+    assert s2["shards_skipped"] == 2 and s2["rows"] == 0
