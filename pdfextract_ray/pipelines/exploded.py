@@ -111,6 +111,11 @@ WORKER_SCHEMA = pa.schema([
     ("references", REF_TYPE),
     ("n_pages", pa.int64()), ("n_tokens", pa.int64()),
     ("n_refs", pa.int64()),
+    # per-row failure isolation, same contract as the fused pipeline's
+    # ExtractDocs: a poisoned document yields an error row, never a
+    # failed block (on page rows: that PAGE's kernel error, folded to a
+    # document error at reassembly)
+    ("error", pa.string()),
 ])
 
 
@@ -141,18 +146,29 @@ class ExplodeAssemble:
         for url, lang, html in zip(batch["url"].to_pylist(),
                                    batch["lang"].to_pylist(),
                                    batch["html"].to_pylist()):
-            page_map = layout_pages(html if html is not None else b"")
             shard = zlib.crc32(url.encode("utf-8")) % NUM_URL_SHARDS
-            if len(page_map) <= self.page_threshold:
-                res = assemble_document(
-                    [process_page(pl, self.settings) for pl in page_map.values()],
-                    self.settings, self.gazetteer)
+            try:
+                # null html raises (TypeError) exactly like the fused
+                # path's run_document — the error row keeps the variants
+                # row-identical on poisoned input
+                page_map = layout_pages(html)
+                if len(page_map) <= self.page_threshold:
+                    res = assemble_document(
+                        [process_page(pl, self.settings)
+                         for pl in page_map.values()],
+                        self.settings, self.gazetteer)
+                    emit(url_shard=shard, url=url, lang=lang, assembled=True,
+                         title=res.title, text=res.text,
+                         references=[{"content": r["content"],
+                                      "order": r.get("order")}
+                                     for r in res.references],
+                         n_pages=res.n_pages, n_tokens=res.n_tokens,
+                         n_refs=len(res.references))
+                    continue
+            except Exception as exc:  # per-row isolation, as ExtractDocs
                 emit(url_shard=shard, url=url, lang=lang, assembled=True,
-                     title=res.title, text=res.text,
-                     references=[{"content": r["content"], "order": r.get("order")}
-                                 for r in res.references],
-                     n_pages=res.n_pages, n_tokens=res.n_tokens,
-                     n_refs=len(res.references))
+                     references=[], n_pages=0, n_tokens=0, n_refs=0,
+                     error="%s: %s" % (type(exc).__name__, exc))
                 continue
             for page_no, lines in page_map.items():
                 emit(url_shard=shard, url=url, lang=lang, page=page_no,
@@ -173,15 +189,28 @@ def process_residue_pages(batch: pa.Table,
     if not todo.num_rows:  # the lines payload ends here either way
         return done
     n_glyphs, n_chunks = [], []
-    regions, columns, zones, text_parts = [], [], [], []
+    regions, columns, zones, text_parts, errors = [], [], [], [], []
     for lines in todo["lines"].to_pylist():
-        pr = process_page(lines, settings)
+        try:
+            pr = process_page(lines, settings)
+        except Exception as exc:  # page-level isolation; folded to a
+            # document error row at reassembly (first failing page wins,
+            # matching the fused path's first-raise message)
+            n_glyphs.append(0)
+            n_chunks.append(0)
+            regions.append([])
+            columns.append([])
+            zones.append([])
+            text_parts.append([])
+            errors.append("%s: %s" % (type(exc).__name__, exc))
+            continue
         n_glyphs.append(pr["n_glyphs"])
         n_chunks.append(pr["n_chunks"])
         regions.append(pr["regions"])
         columns.append(pr["columns"])
         zones.append(pr["zones"])
         text_parts.append(pr["text_parts"])
+        errors.append(None)
     built = {
         "n_glyphs": pa.array(n_glyphs, pa.int64()),
         "n_chunks": pa.array(n_chunks, pa.int64()),
@@ -189,6 +218,7 @@ def process_residue_pages(batch: pa.Table,
         "columns": pa.array(columns, pa.list_(COLUMN_T)),
         "zones": pa.array(zones, pa.list_(ZONE_T)),
         "text_parts": pa.array(text_parts, pa.list_(pa.string())),
+        "error": pa.array(errors, pa.string()),
     }
     todo = pa.table({name: built.get(name, todo[name])
                      for name in done.schema.names})
@@ -212,7 +242,7 @@ ASSEMBLE_SCHEMA = pa.schema([
     ("title", pa.string()), ("text", pa.string()),
     ("references", REF_TYPE),
     ("n_pages", pa.int64()), ("n_tokens", pa.int64()),
-    ("n_refs", pa.int64()),
+    ("n_refs", pa.int64()), ("error", pa.string()),
 ])
 
 
@@ -238,7 +268,19 @@ def assemble_group(t: pa.Table, settings: Settings = DEFAULT_SETTINGS) -> pa.Tab
     gaz = _gazetteer()
     rows: dict[str, list] = {"url": [], "lang": [], "title": [], "text": [],
                              "references": [], "n_pages": [], "n_tokens": [],
-                             "n_refs": []}
+                             "n_refs": [], "error": []}
+
+    def emit_error(url: str, msg: str) -> None:
+        rows["url"].append(url)
+        rows["lang"].append(langs[url])
+        rows["title"].append(None)
+        rows["text"].append(None)
+        rows["references"].append([])
+        rows["n_pages"].append(0)
+        rows["n_tokens"].append(0)
+        rows["n_refs"].append(0)
+        rows["error"].append(msg)
+
     by_url: dict[str, list[dict]] = {}
     langs: dict[str, str] = {}
     for r in residue.to_pylist():
@@ -246,6 +288,13 @@ def assemble_group(t: pa.Table, settings: Settings = DEFAULT_SETTINGS) -> pa.Tab
         langs[r["url"]] = r["lang"]
     for url in sorted(by_url):
         pages = sorted(by_url[url], key=lambda r: r["page"])
+        # a failed page poisons its DOCUMENT only: fold to one error row
+        # (first failing page in page order — the same message the fused
+        # path's first-raise would carry)
+        page_err = next((r["error"] for r in pages if r["error"]), None)
+        if page_err is not None:
+            emit_error(url, page_err)
+            continue
         # cheap guard for the unique-url input contract (see
         # extract_exploded docstring): a duplicate (url, page) pair can
         # only come from duplicate urls among OVERSIZED docs, which
@@ -263,7 +312,11 @@ def assemble_group(t: pa.Table, settings: Settings = DEFAULT_SETTINGS) -> pa.Tab
              "regions": r["regions"] or [], "columns": r["columns"] or [],
              "zones": r["zones"] or [], "text_parts": r["text_parts"] or []}
             for r in pages]
-        res = assemble_document(page_results, settings, gaz)
+        try:
+            res = assemble_document(page_results, settings, gaz)
+        except Exception as exc:  # document-stage isolation, as ExtractDocs
+            emit_error(url, "%s: %s" % (type(exc).__name__, exc))
+            continue
         rows["url"].append(url)
         rows["lang"].append(langs[url])
         rows["title"].append(res.title)
@@ -273,6 +326,7 @@ def assemble_group(t: pa.Table, settings: Settings = DEFAULT_SETTINGS) -> pa.Tab
         rows["n_pages"].append(res.n_pages)
         rows["n_tokens"].append(res.n_tokens)
         rows["n_refs"].append(len(res.references))
+        rows["error"].append(None)
     built = pa.table(
         {name: pa.array(rows[name], ASSEMBLE_SCHEMA.field(name).type)
          for name in ASSEMBLE_SCHEMA.names})
@@ -491,7 +545,7 @@ def extract_exploded_to_dir(ds, out_dir: str,
 
 
 EXPLODED_COLUMNS = ["url", "lang", "title", "text", "references",
-                    "n_pages", "n_tokens", "n_refs"]
+                    "n_pages", "n_tokens", "n_refs", "error"]
 
 
 def derive_size_threshold(paths, quantile: float = 0.99) -> int:
@@ -636,7 +690,7 @@ def _adaptive_union(small_ds, big_ds, settings: Settings,
         ("title", pa.string()), ("text", pa.string()),
         ("references", REF_TYPE),
         ("n_pages", pa.int32()), ("n_tokens", pa.int64()),
-        ("n_refs", pa.int32()),
+        ("n_refs", pa.int32()), ("error", pa.string()),
     ])
 
     def _norm(t: pa.Table) -> pa.Table:

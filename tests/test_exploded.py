@@ -78,6 +78,10 @@ def test_exploded_mixed_threshold_equals_fused(ray_session, corpus_path):
 
 
 def test_exploded_handles_empty_and_null_html(ray_session):
+    """Empty html extracts to empty text; NULL html is a poisoned row
+    and yields an error row — the same contract as the fused pipeline's
+    ExtractDocs (it used to silently extract to "", a variant-parity
+    gap)."""
     import pyarrow as pa
     import ray.data
     from datetime import datetime
@@ -92,9 +96,77 @@ def test_exploded_handles_empty_and_null_html(ray_session):
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     out = extract_exploded(ds, concurrency=2).to_pandas().set_index("url")
     assert out.loc["ok", "text"] == "hello world"
+    assert out.loc["ok", "error"] is None
     assert out.loc["empty", "text"] == ""
-    assert out.loc["null", "text"] == ""
+    assert out.loc["empty", "error"] is None
+    assert out.loc["null", "text"] is None
+    assert out.loc["null", "error"] is not None
     assert len(out) == 3
+
+
+def test_exploded_error_isolation_matches_fused(ray_session):
+    """A poisoned document yields an error row (never a failed block) in
+    the exploded path too, with the SAME row the fused pipeline emits —
+    through both the in-stage fused route and the page-parallel route
+    (a layout failure is caught before any page explodes)."""
+    import pyarrow as pa
+    import ray.data
+    from datetime import datetime
+    from pdfextract_ray.pipelines.exploded import extract_exploded
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        {"url": "u1", "warc_ts": ts, "html": b"<p>fine</p>", "lang": "en"},
+        {"url": "u2", "warc_ts": ts, "html": None, "lang": "en"},  # poison
+    ]
+    t = pa.Table.from_pylist(rows)
+    fused = extract_dataset(ray.data.from_arrow(t), concurrency=1,
+                            skew_threshold=None).to_pandas().set_index("url")
+    for thr in (64, 0):
+        out = extract_exploded(ray.data.from_arrow(t), concurrency=2,
+                               page_threshold=thr).to_pandas().set_index("url")
+        assert len(out) == 2, thr
+        assert out.loc["u1", "text"] == "fine"
+        assert out.loc["u1", "error"] is None
+        assert out.loc["u2", "text"] is None
+        assert out.loc["u2", "error"] == fused.loc["u2", "error"]
+        assert out.loc["u2", "n_pages"] == 0 and out.loc["u2", "n_refs"] == 0
+
+
+def test_residue_page_error_folds_to_document_error():
+    """A page-kernel failure inside the residue path poisons only its
+    document: process_residue_pages records the page error, and
+    assemble_group folds it to ONE error row for that url (no raise,
+    other urls unaffected). Pure-local test, no Ray."""
+    import pyarrow as pa
+    from pdfextract_ray.pipelines.exploded import (WORKER_SCHEMA,
+                                                   assemble_group,
+                                                   process_residue_pages)
+    from pdfextract_ray.kernel.layout import tokenize
+
+    good_lines = tokenize("<p>hello world</p>")
+    # content=None makes the chunk stage raise (AttributeError) — a
+    # stand-in for any unexpected kernel failure on one page
+    bad_line = dict(good_lines[0])
+    bad_line["content"] = None
+
+    def page_row(url, page, lines):
+        row = {name: None for name in WORKER_SCHEMA.names}
+        row.update(url_shard=0, url=url, lang="en", page=page,
+                   assembled=False, lines=lines)
+        return row
+
+    batch = pa.Table.from_pylist(
+        [page_row("bad", 1, good_lines), page_row("bad", 2, [bad_line]),
+         page_row("good", 1, good_lines)], schema=WORKER_SCHEMA)
+    out = assemble_group(process_residue_pages(batch)).to_pandas() \
+        .set_index("url")
+    assert len(out) == 2
+    assert out.loc["good", "error"] is None
+    assert out.loc["good", "text"] == "hello world"
+    assert out.loc["bad", "error"] is not None
+    assert out.loc["bad", "text"] is None and out.loc["bad", "n_pages"] == 0
 
 
 def test_adaptive_router_equals_fused(ray_session, corpus_path):
