@@ -147,3 +147,36 @@ def test_parse_warc_truncated_tail_logged(caplog):
         got = list(parse_warc_records(ok + truncated))
     assert [u for u, _, _ in got] == ["http://a/1"]
     assert any("truncated tail" in r.message for r in caplog.records)
+
+
+def test_parse_warc_fuzz_never_raises_and_recovers():
+    """Property: for ANY byte junk injected at a record boundary, the
+    parser (a) never raises, (b) yields no phantom records, and (c)
+    recovers every intact record after the junk whenever the junk
+    cannot be mistaken for a record boundary."""
+    from hypothesis import given, settings, strategies as st
+
+    urls = ["http://site/%d" % i for i in range(4)]
+    recs = [_response(u, ("<p>doc %s</p>" % u).encode()) for u in urls]
+
+    junk = st.binary(min_size=1, max_size=64)
+    pos = st.integers(min_value=0, max_value=len(recs))
+
+    @settings(max_examples=200, deadline=None)
+    @given(junk=junk, pos=pos)
+    def prop(junk, pos):
+        buf = b"".join(recs[:pos]) + junk + b"".join(recs[pos:])
+        got = [u for u, _, _ in parse_warc_records(buf)]  # must not raise
+        assert set(got) <= set(urls)
+        # records before the junk are always intact
+        assert got[:pos] == urls[:pos]
+        # if the junk can't fake or break a boundary, the parser resyncs
+        # and recovers every LATER record; the one record the junk is
+        # glued onto (its header is corrupted — there is no boundary
+        # between junk and it) is correctly sacrificed
+        clean = (b"WARC/" not in junk and b"\r\n\r\n" not in junk
+                 and not junk.endswith(b"\r\n") and not junk.endswith(b"\r"))
+        if clean:
+            assert got == urls[:pos] + urls[pos + 1:]
+
+    prop()
