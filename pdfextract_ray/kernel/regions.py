@@ -26,10 +26,10 @@ def _incident(l: dict, r: dict) -> bool:
     return (lx1 <= rx1 <= lx2) or (lx1 <= rx2 <= lx2) or (rx1 <= lx1 <= rx2) or (rx1 <= lx2 <= rx2)
 
 
-def _tc_term(content: str) -> int:
-    # one line's contribution to get_text_content length (spatial.rb:98-109):
-    # hyphen-ending lines join with the hyphen elided, others add a space
-    return len(content) - 1 if content.endswith("-") else len(content) + 1
+# One line's contribution to get_text_content length (spatial.rb:98-109):
+# hyphen-ending lines join with the hyphen elided, others add a space —
+# i.e. term(c) = len(c) - 1 if c.endswith("-") else len(c) + 1. Computed
+# inline in build_regions' setup loop (the hot per-chunk pass).
 
 
 # The merge itself (spatial.merge(t, b, lines=True), spatial.rb:42-76) is
@@ -63,13 +63,24 @@ def build_regions(page_chunks: list[dict], settings: Settings) -> list[dict]:
     # c_tc mirrors _tc_len for the (always single-line) candidates: the
     # dominant-font rule only ever compares a candidate's adjusted text
     # length against the accumulator's, so both are precomputed once.
+    # spatial.as_line + _tc_term are inlined (the loop runs once per
+    # chunk on every page; same keys in the same insertion order).
     c_tc: list[int] = []
     for chunk in chunks:
-        chunk["lines"] = [spatial.as_line(chunk)]
         content = chunk["content"]
-        ts = _tc_term(content)
+        chunk["lines"] = [{
+            "x": chunk["x"], "y": chunk["y"], "width": chunk["width"],
+            "height": chunk["height"], "page": chunk["page"],
+            "page_width": chunk["page_width"],
+            "page_height": chunk["page_height"], "content": content,
+        }]
+        if content.endswith("-"):
+            ts = len(content) - 1
+            c_tc.append(ts)
+        else:
+            ts = len(content) + 1
+            c_tc.append(ts - 1)
         chunk["_tcS"] = ts
-        c_tc.append(ts - (0 if content.endswith("-") else 1))
         del chunk["content"]
 
     regions: list[dict] = []
