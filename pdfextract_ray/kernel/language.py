@@ -51,12 +51,14 @@ def _ruby_div(num: float, den: float) -> float:
     return num / den
 
 
+# str.translate applies exactly the same per-char mapping (multi-char
+# replacements included) at C speed; unmapped chars pass through
+_TRANSLIT_TABLE = {ord(k): v for k, v in _TRANSLIT.items()}
+
+
 def transliterate(s: str) -> str:
     # language.rb:5-38 — per-char mapping then whitespace collapse (no strip).
-    out = []
-    for c in s:
-        out.append(_TRANSLIT.get(c, c))
-    return _WS_RE.sub(" ", "".join(out))
+    return _WS_RE.sub(" ", s.translate(_TRANSLIT_TABLE))
 
 
 # deleting the member chars and differencing lengths counts them at

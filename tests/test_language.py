@@ -82,3 +82,27 @@ def test_names_detector_pluggable(gazetteer):
     finally:
         N.set_detector(N.NamesDatabase)
     assert N.detect_names(content, gazetteer) == base
+
+
+def test_transliterate_translate_matches_scalar_loop():
+    # differential: str.translate fast path vs the literal per-char scan
+    # (language.rb:5-38), over every mapped char plus unicode edge cases
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+
+    mapped = "".join(language._TRANSLIT)
+
+    def scalar(s: str) -> str:
+        out = []
+        for c in s:
+            out.append(language._TRANSLIT.get(c, c))
+        return language._WS_RE.sub(" ", "".join(out))
+
+    @hsettings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.one_of(
+        st.sampled_from(mapped + " \t\n  "),
+        st.characters()), max_size=80))
+    def check(s):
+        assert language.transliterate(s) == scalar(s)
+
+    check()
