@@ -146,6 +146,13 @@ class ExplodeAssemble:
         for url, lang, html in zip(batch["url"].to_pylist(),
                                    batch["lang"].to_pylist(),
                                    batch["html"].to_pylist()):
+            if url is None:
+                # null key: can't shard or reassemble by url — an error
+                # row in shard 0, same isolation contract as ExtractDocs
+                emit(url_shard=0, url=None, lang=lang, assembled=True,
+                     references=[], n_pages=0, n_tokens=0, n_refs=0,
+                     error="ValueError: null url")
+                continue
             shard = zlib.crc32(url.encode("utf-8")) % NUM_URL_SHARDS
             try:
                 # null html raises (TypeError) exactly like the fused

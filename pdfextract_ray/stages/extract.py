@@ -52,7 +52,9 @@ EXTRACT_SCHEMA = pa.schema([
 ])
 
 
-def url_partition(url: str, num_partitions: int) -> int:
+def url_partition(url: str | None, num_partitions: int) -> int:
+    if url is None:  # malformed row (null key) — lands in partition 0
+        return 0
     """Deterministic partition assignment (stable across runs/processes)."""
     return zlib.crc32(url.encode("utf-8")) % num_partitions
 
@@ -82,8 +84,12 @@ class ExtractDocs:
         n_refs: list[int] = []
         errors: list[str | None] = []
 
-        for html in htmls:
+        for u, html in zip(urls, htmls):
             try:
+                if u is None:
+                    # null key: the row can't be deduped / checkpointed /
+                    # reassembled by url — an error row, never a crash
+                    raise ValueError("null url")
                 r = run_document(html, self.settings, self.gazetteer)
                 titles.append(r.title)
                 texts.append(r.text)

@@ -177,3 +177,37 @@ def test_empty_input_shard_completes_and_resumes(ray_session, tiny_corpus, tmp_p
     assert sorted(m["rows"] for m in man.values()) == [0, 8]
     s2 = run_extract(str(d), out, num_shards=2, concurrency=1)
     assert s2["shards_skipped"] == 2 and s2["rows"] == 0
+
+
+def test_null_url_error_isolation(ray_session, gazetteer):
+    """A null-url row (malformed parquet input — readers guard JSONL/WARC
+    but parquet arrives raw) yields an error row, never a failed block,
+    on BOTH extraction paths."""
+    import pyarrow as pa
+    import ray.data
+    from pdfextract_ray.pipelines.exploded import extract_exploded
+    from pdfextract_ray.pipelines.extract_pipeline import extract_dataset
+
+    from datetime import datetime
+    ts = datetime(2024, 1, 1)
+    rows = [
+        {"url": "u1", "warc_ts": ts, "html": b"<p>fine</p>", "lang": "en"},
+        {"url": None, "warc_ts": ts, "html": b"<p>lost</p>", "lang": "en"},
+    ]
+    t = pa.Table.from_pylist(rows)
+
+    out = extract_dataset(ray.data.from_arrow(t), concurrency=1,
+                          skew_threshold=None).to_pandas()
+    assert len(out) == 2
+    ok = out[out["url"] == "u1"].iloc[0]
+    bad = out[out["url"].isna()].iloc[0]
+    assert ok["error"] is None and ok["text"] == "fine"
+    assert "null url" in bad["error"]
+
+    out2 = extract_exploded(ray.data.from_arrow(t),
+                            concurrency=1).to_pandas()
+    assert len(out2) == 2
+    ok2 = out2[out2["url"] == "u1"].iloc[0]
+    bad2 = out2[out2["url"].isna()].iloc[0]
+    assert ok2["error"] is None and ok2["text"] == "fine"
+    assert "null url" in bad2["error"]
