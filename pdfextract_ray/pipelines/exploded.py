@@ -478,8 +478,25 @@ class ExplodeAssembleSink(ExplodeAssemble):
             # DIFFERENT blocks at ~100k blocks (silent row loss at
             # exactly the corpus sizes this path targets).
             import hashlib
-            key = hashlib.md5(
-                done["url"][0].as_py().encode("utf-8")).hexdigest()
+            key_src = next((u for u in done["url"].to_pylist()
+                            if u is not None), None)
+            if key_src is None:
+                # pathological all-null-url block (malformed rows only):
+                # content-address it — identical such blocks dedupe to
+                # one file, distinct ones keep distinct names
+                buf = pa.BufferOutputStream()
+                # rebuild with fresh zero-based buffers: IPC of a sliced
+                # table keeps original offset values, so a retried task's
+                # rebuilt block could serialize differently and break the
+                # content-keyed idempotence
+                canon = pa.Table.from_pylist(
+                    done.to_pylist(), schema=done.schema)
+                with pa.ipc.new_stream(buf, canon.schema) as w:
+                    w.write_table(canon)
+                key_src = buf.getvalue().to_pybytes()
+            else:
+                key_src = key_src.encode("utf-8")
+            key = hashlib.md5(key_src).hexdigest()
             name = "finished-%s-%d.parquet" % (key, done.num_rows)
             tmp = os.path.join(self.out_dir,
                                ".%s.%d.tmp" % (name, os.getpid()))

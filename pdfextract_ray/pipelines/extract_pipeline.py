@@ -117,13 +117,52 @@ def extract_dataset(ds: "ray.data.Dataset", settings: Settings = DEFAULT_SETTING
 def dedup_by_url(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact per-url dedup: keep the first row per url (idempotent
     re-runs over overlapping crawls — SURVEY.md §2.6). Hash-partitioned
-    groupby; only (url, row) pairs of colliding urls concentrate."""
+    groupby; only (url, row) pairs of colliding urls concentrate.
+
+    Null-url rows (malformed input) have NO identity to dedup on: each
+    gets a content-hash sentinel key, so distinct malformed rows are
+    never collapsed as if duplicates of one another, and — unlike
+    grouping them under the shared null key — they don't concentrate
+    into one group (0.1% nulls at 10^12 docs would be a one-worker
+    mega-group). Byte-identical null rows DO collapse (indistinguishable
+    true duplicates). The key column duplicates ``url`` through the
+    shuffle; html dominates the moved bytes, so the overhead is noise."""
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_key(t: pa.Table) -> pa.Table:
+        urls = t["url"]
+        if urls.null_count == 0:
+            key = urls
+        else:  # rare path: per-row content hash for the null rows only
+            import hashlib
+            vals = urls.to_pylist()
+            key_vals = []
+            for i, u in enumerate(vals):
+                if u is not None:
+                    key_vals.append(u)
+                    continue
+                buf = pa.BufferOutputStream()
+                # rebuild the row: IPC keeps a SLICED table's original
+                # offset values, so identical rows at different positions
+                # would hash differently and never collapse
+                row = pa.Table.from_pylist(
+                    t.slice(i, 1).to_pylist(), schema=t.schema)
+                with pa.ipc.new_stream(buf, row.schema) as w:
+                    w.write_table(row)
+                key_vals.append(
+                    "\x00" + hashlib.md5(
+                        buf.getvalue().to_pybytes()).hexdigest())
+            key = pa.array(key_vals, pa.string())
+        return t.append_column("_dedup_key", key)
 
-    return ds.groupby("url").map_groups(first, batch_format="pandas")
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        # drop the key here rather than via Dataset.drop_columns — that
+        # operator rejects complex list<struct> columns (span rows)
+        return g.head(1).drop(columns="_dedup_key")
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+              .groupby("_dedup_key")
+              .map_groups(first, batch_format="pandas"))
 
 
 def _shard_metrics(shard_dir: str) -> list[dict]:

@@ -211,3 +211,27 @@ def test_null_url_error_isolation(ray_session, gazetteer):
     bad2 = out2[out2["url"].isna()].iloc[0]
     assert ok2["error"] is None and ok2["text"] == "fine"
     assert "null url" in bad2["error"]
+
+
+def test_dedup_by_url_null_urls_not_collapsed(ray_session):
+    """Distinct null-url rows survive dedup (no shared-null-key collapse);
+    byte-identical null rows are true duplicates and do collapse."""
+    import pyarrow as pa
+    import ray.data
+    from datetime import datetime
+    from pdfextract_ray.pipelines.extract_pipeline import dedup_by_url
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        {"url": "u1", "warc_ts": ts, "html": b"a", "lang": "en"},
+        {"url": "u1", "warc_ts": ts, "html": b"dup", "lang": "en"},
+        {"url": None, "warc_ts": ts, "html": b"b", "lang": "en"},
+        {"url": None, "warc_ts": ts, "html": b"c", "lang": "en"},
+        {"url": None, "warc_ts": ts, "html": b"c", "lang": "en"},  # true dup
+    ]
+    out = dedup_by_url(
+        ray.data.from_arrow(pa.Table.from_pylist(rows))).to_pandas()
+    assert sorted(out.columns) == ["html", "lang", "url", "warc_ts"]
+    assert len(out[out["url"] == "u1"]) == 1
+    nulls = out[out["url"].isna()]
+    assert sorted(nulls["html"]) == [b"b", b"c"]
