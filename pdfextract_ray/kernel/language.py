@@ -12,6 +12,7 @@ division (``x / 0.0`` → inf, ``0 / 0.0`` → NaN) because downstream scoring
 from __future__ import annotations
 
 import re
+from itertools import filterfalse
 
 _TRANSLIT = {
     # Remove ligatures (language.rb:10-18)
@@ -73,6 +74,9 @@ def letter_ratio(s: str) -> float:
 
 
 _UPPERS_RE = re.compile(r"[A-Z]")
+# delete-and-diff counts A-Z occurrences at C speed (same trick as
+# letter_ratio); identical to len(_UPPERS_RE.findall(s)) by definition
+_UPPER_DEL = {c: None for c in range(ord("A"), ord("Z") + 1)}
 # an uppercase letter is exempt iff it is the first char other than
 # whitespace/dots after a '.' (or string start) — the state-machine
 # equivalent below, verified by a differential property test
@@ -83,7 +87,7 @@ def cap_ratio(s: str, n_words: int | None = None) -> float:
     # language.rb:45-61 — caps not at sentence start, per word.
     # ``n_words`` lets a caller that already split ``s`` skip the re-split
     # (must equal len(s.split())).
-    cap_count = len(_UPPERS_RE.findall(s)) - len(_EXEMPT_RE.findall(s))
+    cap_count = (len(s) - len(s.translate(_UPPER_DEL))) - len(_EXEMPT_RE.findall(s))
     if n_words is None:
         n_words = len(s.split())
     return _ruby_div(cap_count, float(n_words))
@@ -114,8 +118,11 @@ def year_ratio(s: str, words: list[str] | None = None) -> float:
     if words is None:
         words = s.split()
     # C-speed filter+search (no per-word generator frame) — identical
-    # predicate, ~5% of kernel time in the 400-doc profile
-    n = len(list(filter(_YEAR_RE.search, words)))
+    # predicate, ~5% of kernel time in the 400-doc profile. The
+    # filterfalse(str.isalpha) pre-screen is exact: an all-alphabetic
+    # word contains no digit, so _YEAR_RE (which requires \d{4}) can
+    # never match it — only non-pure-alpha words reach the regex.
+    n = len(list(filter(_YEAR_RE.search, filterfalse(str.isalpha, words))))
     return _ruby_div(n, float(len(words)))
 
 
