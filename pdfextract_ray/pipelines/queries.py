@@ -755,30 +755,20 @@ def _perm_sql() -> tuple[str, str]:
             "[" + ",".join(str(int(b)) for b in _PERM_B) + "]")
 
 
-def _minhash_cte_prefix() -> str:
-    """Shared WITH-clause prefix: documents → shingle crc32 sets (h) →
-    wraparound minhash signatures (sig) → LSH bands → candidate pairs
-    with signature-agreement estimate (cand) → pairs (est >= 0.5).
-    Used by both the dedup_minhash and dedup_minhash_verified oracles."""
+def _shingle_cte_prefix() -> str:
+    """WITH-clause prefix ending at ``h``: documents → word-3-shingle
+    crc32 sets, one row per (doc_id, DISTINCT h32) — the exact mirror
+    of ``stages.dedup._shingle_hashes``. Shared by the minhash oracles
+    and the exact set-similarity (dedup_ngram_jaccard) oracle."""
     crc_str = """xor(list_reduce(
       list_prepend(CAST(4294967295 AS UBIGINT),
                    list_transform(range(1, length(s)+1),
                                   i -> CAST(ascii(s[i]) AS UBIGINT))),
       (acc, byte) -> xor(acc >> 8, tbl[1 + CAST(xor(acc, byte) & 255 AS INTEGER)])),
     CAST(4294967295 AS UBIGINT))"""
-    band_bytes = ("flatten(list_transform(range(0, 4), "
-                  "r -> list_transform(range(0, 8), "
-                  "j -> (sv[1 + 4*bb.b + r] >> (8*j)) & 255)))")
-    crc_bytes = ("""xor(list_reduce(
-      list_prepend(CAST(4294967295 AS UBIGINT), {bl}),
-      (acc, byte) -> xor(acc >> 8, tbl[1 + CAST(xor(acc, byte) & 255 AS INTEGER)])),
-    CAST(4294967295 AS UBIGINT))""").replace("{bl}", band_bytes)
-    a_sql, b_sql = _perm_sql()
     return (r"""
 WITH RECURSIVE
 t(tbl) AS (SELECT {TBL}::UBIGINT[]),
-pa(a) AS (SELECT {A}::HUGEINT[]),
-pb(b) AS (SELECT {B}::HUGEINT[]),
 w AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
@@ -794,7 +784,26 @@ shg AS (
   FROM w
 ),
 e AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
-h AS (SELECT DISTINCT doc_id, CAST({CRC_STR} AS HUGEINT) AS h32 FROM e, t),
+h AS (SELECT DISTINCT doc_id, CAST({CRC_STR} AS HUGEINT) AS h32 FROM e, t)
+""").replace("{TBL}", _crc32_table_sql()).replace("{CRC_STR}", crc_str)
+
+
+def _minhash_cte_prefix() -> str:
+    """Shared WITH-clause prefix: the shingle prefix (``h``) → wraparound
+    minhash signatures (sig) → LSH bands → candidate pairs with
+    signature-agreement estimate (cand) → pairs (est >= 0.5).
+    Used by both the dedup_minhash and dedup_minhash_verified oracles."""
+    band_bytes = ("flatten(list_transform(range(0, 4), "
+                  "r -> list_transform(range(0, 8), "
+                  "j -> (sv[1 + 4*bb.b + r] >> (8*j)) & 255)))")
+    crc_bytes = ("""xor(list_reduce(
+      list_prepend(CAST(4294967295 AS UBIGINT), {bl}),
+      (acc, byte) -> xor(acc >> 8, tbl[1 + CAST(xor(acc, byte) & 255 AS INTEGER)])),
+    CAST(4294967295 AS UBIGINT))""").replace("{bl}", band_bytes)
+    a_sql, b_sql = _perm_sql()
+    return _shingle_cte_prefix() + (r"""
+, pa(a) AS (SELECT {A}::HUGEINT[]),
+pb(b) AS (SELECT {B}::HUGEINT[]),
 sigrow AS (
   SELECT doc_id, i.i AS perm,
          CAST(min(((a[1 + i.i] * h32) % 18446744073709551616 + b[1 + i.i])
@@ -814,9 +823,8 @@ cand AS (
     ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
 ),
 pairs AS (SELECT a, b FROM cand WHERE est >= 0.5)
-""").replace("{TBL}", _crc32_table_sql()) \
-    .replace("{A}", a_sql).replace("{B}", b_sql) \
-    .replace("{CRC_STR}", crc_str).replace("{CRC_BYTES}", crc_bytes)
+""").replace("{A}", a_sql).replace("{B}", b_sql) \
+    .replace("{CRC_BYTES}", crc_bytes)
 
 
 _DEDUP_MINHASH_SQL = _minhash_cte_prefix() + r"""
@@ -991,6 +999,104 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def q_dedup_ngram_jaccard(sf_dir: str, t_num: int = 4, t_den: int = 5):
+    """EXACT n-gram-Jaccard near-dup pairs (J >= t_num/t_den, default
+    0.8) via a prefix-filter set-similarity self-join — the All-Pairs /
+    PPJoin family (Bayardo et al. WWW'07), no MinHash estimation
+    anywhere. The oracle is the brute-force DEFINITION (every doc pair's
+    exact shingle-set Jaccard in DuckDB), so a green hash proves the
+    prefix filter dropped no qualifying pair.
+
+    Distributed end-to-end (see ``stages/dedup.py``'s All-Pairs block
+    for the theorem and the shuffle-by-shuffle plan): the only
+    materialized intermediate is the exploded (doc, shingle) index,
+    consumed by two downstream stages — at petabyte scale swap the
+    ``materialize()`` for a parquet checkpoint or recompute; the
+    structure is unchanged. Every shuffle key is masked into
+    cluster-derived shard groups, and the final verify is the same
+    pairs⋈documents⋈documents hash-join pattern as
+    ``dedup_minhash_verified``."""
+    import functools
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+    from pdfextract_ray.stages.dedup import (ngram_jaccard, prefix_pairs_shard,
+                                             prefix_tokens_shard,
+                                             shingle_explode_batch,
+                                             token_freq_shard)
+
+    threshold = t_num / t_den
+    exploded = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(shingle_explode_batch, batch_format="pyarrow") \
+        .materialize()
+    with_freq = exploded.groupby("shard") \
+        .map_groups(token_freq_shard, batch_format="pandas")
+    prefixes = with_freq.groupby("dshard") \
+        .map_groups(functools.partial(prefix_tokens_shard,
+                                      t_num=t_num, t_den=t_den),
+                    batch_format="pandas")
+    pairs = prefixes.groupby("tshard") \
+        .map_groups(functools.partial(prefix_pairs_shard,
+                                      t_num=t_num, t_den=t_den),
+                    batch_format="pandas") \
+        .materialize()
+    if pairs.count() == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    # the same pair can arrive from several shared prefix tokens:
+    # distributed dedupe, then the pre-join coalesce (Ray 2.49 rejects
+    # schema-less empty blocks at join inputs, incl. join→join chains)
+    pairs = coalesce_for_join(
+        pairs.groupby(["a", "b"]).aggregate(Min("a", alias_name="_k")))
+
+    def _docs(key: str, text_name: str):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda t, k=key, tn=text_name: pa.table({k: t["doc_id"],
+                                                     tn: t["text"]}),
+            batch_format="pyarrow")
+
+    with_a = pairs.join(_docs("a_key", "text_a"), join_type="inner",
+                        num_partitions=join_partitions(), on=("a",),
+                        right_on=("a_key",))
+    with_a = coalesce_for_join(with_a)
+    with_ab = with_a.join(_docs("b_key", "text_b"), join_type="inner",
+                          num_partitions=join_partitions(), on=("b",),
+                          right_on=("b_key",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        # raw |∩|/|∪| int division — bit-identical to the oracle's
+        jac = [ngram_jaccard(ta or "", tb or "")
+               for ta, tb in zip(t["text_a"].to_pylist(),
+                                 t["text_b"].to_pylist())]
+        out = pa.table({"a": t["a"], "b": t["b"],
+                        "jaccard": pa.array(jac, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+# dedup_ngram_jaccard oracle: the brute-force definition — every doc
+# pair's exact shingle-set Jaccard from the shared h CTE, thresholded.
+# No mirror of the prefix-filter mechanics: a hash match proves the
+# distributed algorithm found exactly the defined pair set.
+_DEDUP_NGRAM_JACCARD_SQL = _shingle_cte_prefix() + r"""
+, na AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+inter AS (
+  SELECT ha.doc_id AS a, hb.doc_id AS b, count(*) AS ni
+  FROM h ha JOIN h hb ON ha.h32 = hb.h32 AND ha.doc_id < hb.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(i.a AS BIGINT) AS a, CAST(i.b AS BIGINT) AS b,
+       i.ni / CAST(x.n + y.n - i.ni AS DOUBLE) AS jaccard
+FROM inter i
+JOIN na x ON x.doc_id = i.a
+JOIN na y ON y.doc_id = i.b
+WHERE i.ni / CAST(x.n + y.n - i.ni AS DOUBLE) >= 0.8
+ORDER BY a, b
+"""
 
 
 # -------------------------------------------------------------- similarity
@@ -1414,6 +1520,7 @@ def build_queries() -> dict:
         "orders_by_status": rel.orders_by_status,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # ---- rows-only (18): non-SQL-expressible pipelines
         "extract_flagship": q_extract_flagship,
         "extract_exploded": q_extract_exploded,
@@ -1470,4 +1577,5 @@ def build_oracles() -> dict:
         "orders_by_status": _ORDERS_BY_STATUS_SQL,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": _DEDUP_MINHASH_VERIFIED_SQL,
+        "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     }

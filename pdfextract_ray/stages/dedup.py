@@ -494,3 +494,124 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / float(len(sa | sb))
+
+
+# ------------------------------------------------------------------
+# Exact n-gram-Jaccard set-similarity self-join (All-Pairs / PPJoin
+# family: Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
+# Search", WWW'07; Xiao et al., WWW'08). Unlike the MinHash path this
+# finds EXACTLY the pairs with shingle-set Jaccard >= t — no estimator
+# — by the prefix-filter theorem: order every doc's shingle set by one
+# GLOBAL total order (document frequency, rarest first, ties by hash)
+# and keep only the first p = n - ceil(t*n) + 1 tokens; two docs with
+# J >= t must share at least one prefix token, so grouping by prefix
+# token generates a complete candidate set. Frequency ordering (not
+# hash ordering) is what keeps boilerplate shingles — the ones shared
+# by every page — OUT of prefixes, so token groups stay small.
+#
+# Dataflow (each step one shuffle, all keys low-cardinality-bounded by
+# the shard masks): explode (doc, shingle) inverted index →
+# groupby(token-shard) attach global doc-frequency → groupby(doc-shard)
+# per-doc prefix selection → groupby(token-shard) within-token pair
+# generation with the exact-integer length filter (t_den*min(na,nb) >=
+# t_num*max(na,nb), a necessary condition since J <= min/max) →
+# dedupe → hash-join both sides against documents → exact
+# ngram_jaccard verify. Thresholds are exact integer fractions
+# (t = t_num/t_den); ceil(t*n) = (t_num*n + t_den - 1) // t_den, so
+# the prefix is never shortened by float rounding.
+#
+# A corpus heavy in LITERAL duplicates makes the verified pair set
+# itself quadratic in each duplicate cluster — inherent to the exact
+# problem statement, not to this algorithm; run exact dedup
+# (q_dedup_exact) first on such corpora.
+
+def shingle_explode_batch(batch: pa.Table, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          shard_mask: int | None = None) -> pa.Table:
+    """Inverted-index explode: one row per (doc, DISTINCT shingle crc32),
+    sharded by token hash for the frequency-attach groupby."""
+    shard_mask = _mask(shard_mask)
+    ids_out: list[int] = []
+    h_out: list[int] = []
+    for doc_id, text in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+        hs = _shingle_hashes(text or "")
+        ids_out.extend([doc_id] * len(hs))
+        h_out.extend(int(v) for v in hs)
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "h32": pa.array(h_out, pa.int64()),
+        "shard": pa.array([h & shard_mask for h in h_out], pa.int64()),
+    })
+
+
+def token_freq_shard(df: pd.DataFrame, shard_mask: int | None = None
+                     ) -> pd.DataFrame:
+    """One token-shard group: attach each token's GLOBAL document
+    frequency (complete within the group — shard = h32 & mask) and the
+    next stage's doc-shard key. map_groups may hand us an EMPTY block:
+    return a typed empty."""
+    shard_mask = _mask(shard_mask)
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "h32": pd.Series(dtype="int64"),
+                             "freq": pd.Series(dtype="int64"),
+                             "dshard": pd.Series(dtype="int64")})
+    out = df[["doc_id", "h32"]].copy()
+    out["freq"] = out.groupby("h32")["doc_id"].transform("size").astype("int64")
+    out["dshard"] = out["doc_id"].to_numpy() & shard_mask
+    return out
+
+
+def prefix_tokens_shard(df: pd.DataFrame, t_num: int, t_den: int,
+                        shard_mask: int | None = None) -> pd.DataFrame:
+    """One doc-shard group: per doc, keep the p rarest tokens under the
+    global (freq, h32) order, p = n - ceil(t*n) + 1 (exact integer
+    ceil). Emits (h32, doc_id, n, tshard) for pair generation."""
+    shard_mask = _mask(shard_mask)
+    if len(df) == 0:
+        return pd.DataFrame({"h32": pd.Series(dtype="int64"),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "tshard": pd.Series(dtype="int64")})
+    parts = []
+    for doc_id, g in df.groupby("doc_id", sort=False):
+        n = len(g)
+        p = n - (t_num * n + t_den - 1) // t_den + 1
+        head = g.sort_values(["freq", "h32"], kind="mergesort").head(p)
+        parts.append(pd.DataFrame({"h32": head["h32"].to_numpy(),
+                                   "doc_id": np.int64(doc_id),
+                                   "n": np.int64(n)}))
+    out = pd.concat(parts, ignore_index=True)
+    out["tshard"] = out["h32"].to_numpy() & shard_mask
+    return out
+
+
+def prefix_pairs_shard(df: pd.DataFrame, t_num: int, t_den: int
+                       ) -> pd.DataFrame:
+    """One token-shard group: within each prefix token, emit candidate
+    pairs (a < b) passing the exact-integer length filter."""
+    if len(df) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for _, g in df.groupby("h32", sort=False):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        ns = g["n"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        na, nb = ns[iu], ns[ju]
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        keep = t_den * lo >= t_num * hi
+        if keep.any():
+            a_out.append(ids[iu[keep]])
+            b_out.append(ids[ju[keep]])
+    if not a_out:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(a_out).astype(np.int64),
+                         "b": np.concatenate(b_out).astype(np.int64)})

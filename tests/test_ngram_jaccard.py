@@ -1,0 +1,125 @@
+"""Exact set-similarity self-join (dedup_ngram_jaccard): the
+prefix-filter candidate generation must be COMPLETE (the theorem says
+two sets with J >= t share a prefix token under any global total
+order), and the end-to-end Ray pipeline must equal the brute-force
+DuckDB definition.
+"""
+
+import random
+import zlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdfextract_ray.stages.dedup import (_shingle_hashes, prefix_pairs_shard,
+                                         prefix_tokens_shard,
+                                         shingle_explode_batch,
+                                         token_freq_shard)
+
+T_NUM, T_DEN = 4, 5  # t = 0.8, the registered query's threshold
+
+
+def _local_allpairs(sets: dict[int, set[int]], t_num: int, t_den: int):
+    """Drive the three shard stages locally (single shard) over explicit
+    shingle-hash sets; return the candidate pair set BEFORE verify."""
+    rows = [(d, h) for d, hs in sets.items() for h in hs]
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "h32": [r[1] for r in rows]})
+    with_freq = token_freq_shard(df, shard_mask=0)
+    prefixes = prefix_tokens_shard(with_freq, t_num, t_den, shard_mask=0)
+    pairs = prefix_pairs_shard(prefixes, t_num, t_den)
+    return set(zip(pairs["a"].tolist(), pairs["b"].tolist()))
+
+
+def _brute_pairs(sets: dict[int, set[int]], t_num: int, t_den: int):
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            u = len(sa | sb)
+            if u and len(sa & sb) * t_den >= t_num * u:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_filter_complete_random_sets():
+    """Candidates ⊇ qualifying pairs on adversarial random universes
+    (skewed token frequencies, heavy overlaps, singleton sets)."""
+    rng = random.Random(20240817)
+    for trial in range(60):
+        n_docs = rng.randint(2, 16)
+        universe = list(range(rng.randint(3, 40)))
+        sets = {}
+        for d in range(n_docs):
+            k = rng.randint(1, len(universe))
+            sets[d] = set(rng.sample(universe, k))
+        # plant a pair of exact copies and a superset pair
+        sets[n_docs] = set(sets[0])
+        sets[n_docs + 1] = set(sets[0]) | {max(universe) + 1}
+        cand = _local_allpairs(sets, T_NUM, T_DEN)
+        want = _brute_pairs(sets, T_NUM, T_DEN)
+        missing = want - cand
+        assert not missing, (trial, missing, sets)
+
+
+def test_prefix_length_exact_integer_ceil():
+    """p = n - ceil(t*n) + 1 with integer math: for t=0.8 the prefix of
+    an n-set must still catch a pair at exactly J = t."""
+    # two sets sharing exactly 8 of 10 union tokens: J = 8/12... build
+    # J exactly 0.8: |∩|=8, |∪|=10 → each set has 9 tokens (8 shared +1)
+    a = set(range(8)) | {100}
+    b = set(range(8)) | {200}
+    assert len(a & b) / len(a | b) == 0.8
+    cand = _local_allpairs({1: a, 2: b}, T_NUM, T_DEN)
+    assert (1, 2) in cand
+
+
+def test_length_filter_never_drops_qualifying_pair():
+    """den*min >= num*max is necessary for J >= t (J <= min/max)."""
+    rng = random.Random(7)
+    for _ in range(200):
+        na, nb = rng.randint(1, 50), rng.randint(1, 50)
+        ni = rng.randint(0, min(na, nb))
+        j = ni / (na + nb - ni)
+        if j >= T_NUM / T_DEN:
+            assert T_DEN * min(na, nb) >= T_NUM * max(na, nb)
+
+
+def test_explode_batch_distinct_and_sharded():
+    import pyarrow as pa
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["a b c a b c", ""]})
+    out = shingle_explode_batch(t, shard_mask=3)
+    df = out.to_pandas()
+    # doc 1: shingles {"a b c", "b c a", "c a b"} → 3 distinct hashes
+    assert len(df[df.doc_id == 1]) == 3
+    # empty text → the single crc32("") = 0 shingle
+    assert df[df.doc_id == 2]["h32"].tolist() == [0]
+    assert (df["shard"] == (df["h32"] & 3)).all()
+    # hashes match the minhash path's shingle space
+    assert set(df[df.doc_id == 1]["h32"]) == set(
+        int(v) for v in _shingle_hashes("a b c a b c"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_ngram_jaccard_equals_bruteforce_oracle():
+    """End-to-end at sf0.001: the distributed prefix-filter join finds
+    exactly the pairs the brute-force SQL definition does."""
+    from pdfextract_ray.pipelines.queries import (_DEDUP_NGRAM_JACCARD_SQL,
+                                                  q_dedup_ngram_jaccard)
+    sf = "/root/testdata/sf0.001"
+    res = q_dedup_ngram_jaccard(sf)
+    got = (res.to_pandas() if hasattr(res, "to_pandas") else res)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('%s/documents.parquet')" % sf)
+    want = con.sql(_DEDUP_NGRAM_JACCARD_SQL).df()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(want) > 0
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["jaccard"].tolist() == want["jaccard"].tolist()  # bit-exact
