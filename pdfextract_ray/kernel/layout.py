@@ -29,6 +29,7 @@ import re
 from bisect import bisect_right
 from html.parser import HTMLParser
 from itertools import accumulate
+from operator import add
 
 PAGE_WIDTH = 612.0
 PAGE_HEIGHT = 792.0
@@ -284,7 +285,8 @@ def _wrap_words(words: list[str], width: float, cont_width: float,
         elif kmax_cont * char_w > cont_width:
             kmax_cont -= 1
         n = len(words)
-        prefix = list(accumulate([len(w) + 1 for w in words]))
+        # A[j] = Σ len + (j+1): all-C-speed via map(add, cumsum, 1..n)
+        prefix = list(map(add, accumulate(map(len, words)), range(1, n + 1)))
         lines: list[list[str]] = []
         s = 0
         prev = 0  # effective A[s-1]
