@@ -483,20 +483,13 @@ class ExplodeAssembleSink(ExplodeAssemble):
             if key_src is None:
                 # pathological all-null-url block (malformed rows only):
                 # content-address it — identical such blocks dedupe to
-                # one file, distinct ones keep distinct names
-                buf = pa.BufferOutputStream()
-                # rebuild with fresh zero-based buffers: IPC of a sliced
-                # table keeps original offset values, so a retried task's
-                # rebuilt block could serialize differently and break the
-                # content-keyed idempotence
-                canon = pa.Table.from_pylist(
-                    done.to_pylist(), schema=done.schema)
-                with pa.ipc.new_stream(buf, canon.schema) as w:
-                    w.write_table(canon)
-                key_src = buf.getvalue().to_pybytes()
+                # one file, distinct ones keep distinct names (the
+                # helper rebuilds rows so slicing can't break the
+                # content-keyed retry idempotence)
+                from pdfextract_ray.state.manifest import canonical_table_md5
+                key = canonical_table_md5(done)
             else:
-                key_src = key_src.encode("utf-8")
-            key = hashlib.md5(key_src).hexdigest()
+                key = hashlib.md5(key_src.encode("utf-8")).hexdigest()
             name = "finished-%s-%d.parquet" % (key, done.num_rows)
             tmp = os.path.join(self.out_dir,
                                ".%s.%d.tmp" % (name, os.getpid()))
@@ -557,14 +550,23 @@ def extract_exploded_to_dir(ds, out_dir: str,
     # directory it created when the write turns out empty (the common
     # no-residue case), which would take the finished part files with
     # it if they shared the path. read_parquet(out_dir) discovers both
-    # levels. Clear any previous run's residue first — finished part
-    # files REPLACE themselves on a same-config rerun (deterministic
-    # names) but Ray's sink appends run-unique names, which would
-    # duplicate mega-doc rows. (A rerun with a DIFFERENT page_threshold
-    # into a non-empty dir can still strand stale finished files; use a
-    # fresh dir when changing routing config.)
+    # levels. This sink's contract is rerun-equals-recompute, so clear
+    # BOTH prior outputs first: Ray's residue sink appends run-unique
+    # names (a rerun would duplicate mega-doc rows), and the finished
+    # part names are content-keyed per block — any change to the corpus
+    # or block composition changes the names, so files from a previous
+    # run would otherwise survive as stale rows (silent duplication).
+    # Within-run retry idempotence is untouched: retried tasks still
+    # REPLACE their own deterministic names during the run.
+    import glob as _glob
     import shutil
     shutil.rmtree(os.path.join(out_dir, "residue"), ignore_errors=True)
+    for stale in _glob.glob(os.path.join(out_dir, "finished-*.parquet")) \
+            + _glob.glob(os.path.join(out_dir, ".finished-*.tmp")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     reassembled.write_parquet(os.path.join(out_dir, "residue"))
 
 

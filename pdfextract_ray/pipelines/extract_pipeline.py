@@ -134,24 +134,16 @@ def dedup_by_url(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         if urls.null_count == 0:
             key = urls
         else:  # rare path: per-row content hash for the null rows only
-            import hashlib
+            from pdfextract_ray.state.manifest import canonical_table_md5
             vals = urls.to_pylist()
             key_vals = []
             for i, u in enumerate(vals):
                 if u is not None:
                     key_vals.append(u)
                     continue
-                buf = pa.BufferOutputStream()
-                # rebuild the row: IPC keeps a SLICED table's original
-                # offset values, so identical rows at different positions
-                # would hash differently and never collapse
-                row = pa.Table.from_pylist(
-                    t.slice(i, 1).to_pylist(), schema=t.schema)
-                with pa.ipc.new_stream(buf, row.schema) as w:
-                    w.write_table(row)
-                key_vals.append(
-                    "\x00" + hashlib.md5(
-                        buf.getvalue().to_pybytes()).hexdigest())
+                # the helper rebuilds the row with fresh buffers, so
+                # identical rows at different block positions collapse
+                key_vals.append("\x00" + canonical_table_md5(t.slice(i, 1)))
             key = pa.array(key_vals, pa.string())
         return t.append_column("_dedup_key", key)
 

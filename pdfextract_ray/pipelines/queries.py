@@ -20,6 +20,7 @@ single-value floats (cosines) are grid-snapped at 1e-6.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import pyarrow as pa
@@ -398,6 +399,7 @@ def curate_neardup(ds):
     import pandas as pd
     import pyarrow.compute as pc
     from pdfextract_ray.stages.dedup import (bands_from_sig_batch,
+                                             default_shard_mask,
                                              label_propagation_components,
                                              minhash_signature,
                                              shard_pairs_group)
@@ -450,7 +452,9 @@ def curate_neardup(ds):
         .materialize()
 
     bands = exact.select_columns(["doc_id", "sig"]) \
-        .map_batches(bands_from_sig_batch, batch_format="pyarrow")
+        .map_batches(functools.partial(bands_from_sig_batch,
+                                       shard_mask=default_shard_mask()),
+                     batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(shard_pairs_group, batch_format="pandas").materialize()
 
@@ -490,7 +494,7 @@ def q_doc_stats(sf_dir: str):
 _DOC_STATS_SQL = r"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 )
 SELECT doc_id,
@@ -512,7 +516,7 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 _DOC_FP_SQL = r"""
-SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 
@@ -534,7 +538,7 @@ def q_doc_rolling_fp(sf_dir: str):
 _ROLLING_Q = (1 << 61) - 1
 _ROLLING_FP_SQL = (r"""
 WITH n AS (
-  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s FROM documents
+  SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS s FROM documents
 ),
 hs AS (
   SELECT doc_id,
@@ -562,7 +566,7 @@ def q_doc_quality(sf_dir: str):
 _DOC_QUALITY_SQL = r"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 )
 SELECT doc_id,
@@ -604,7 +608,7 @@ def q_top_bigrams(sf_dir: str, k: int = 50):
 
 _TOP_BIGRAMS_SQL = r"""
 WITH w AS (
-  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  SELECT list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 b AS (
@@ -692,7 +696,7 @@ FROM m
 # identical.
 _DEDUP_SIMHASH_SQL = (r"""
 WITH words AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                                     x -> x <> '')) AS w
   FROM documents
 ),
@@ -771,7 +775,7 @@ WITH RECURSIVE
 t(tbl) AS (SELECT {TBL}::UBIGINT[]),
 w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 shg AS (
@@ -900,11 +904,18 @@ def q_dedup_minhash(sf_dir: str):
     pipeline (crc32 shingles → wraparound minhash → banded LSH →
     agreement-verified pairs → connected components) has an exact
     DuckDB mirror (``_DEDUP_MINHASH_SQL``)."""
-    from pdfextract_ray.stages.dedup import (label_propagation_components,
+    from pdfextract_ray.stages.dedup import (default_shard_mask,
+                                             label_propagation_components,
                                              minhash_bands_batch, pc_cast,
                                              shard_pairs_group)
+    # mask derived ONCE on the driver: a bucket's rows must land in one
+    # shard group, so every task must use the SAME mask — in-task
+    # derivation could disagree if the visible cluster size changes
+    # mid-run (autoscaling / node registration)
+    mask = default_shard_mask()
     bands = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(minhash_bands_batch, batch_format="pyarrow")
+        .map_batches(functools.partial(minhash_bands_batch, shard_mask=mask),
+                     batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(shard_pairs_group, batch_format="pandas") \
         .materialize()  # small post-LSH residue; distributed blocks
@@ -925,9 +936,12 @@ def q_dedup_simhash(sf_dir: str):
     duplicates — hamming is identical across bands — instead of a
     driver-side drop_duplicates)."""
     from ray.data.aggregate import Min
-    from pdfextract_ray.stages.dedup import simhash_batch, simhash_shard_group
+    from pdfextract_ray.stages.dedup import (default_shard_mask, simhash_batch,
+                                             simhash_shard_group)
+    mask = default_shard_mask()  # driver-derived once; see q_dedup_minhash
     bands = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(simhash_batch, batch_format="pyarrow")
+        .map_batches(functools.partial(simhash_batch, shard_mask=mask),
+                     batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(simhash_shard_group, batch_format="pandas") \
         .materialize()
@@ -950,11 +964,14 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     post-LSH residue is not reliably driver-sized."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
-    from pdfextract_ray.stages.dedup import (minhash_bands_batch, ngram_jaccard,
+    from pdfextract_ray.stages.dedup import (default_shard_mask,
+                                             minhash_bands_batch, ngram_jaccard,
                                              shard_pairs_group)
 
+    mask = default_shard_mask()  # driver-derived once; see q_dedup_minhash
     bands = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(minhash_bands_batch, batch_format="pyarrow")
+        .map_batches(functools.partial(minhash_bands_batch, shard_mask=mask),
+                     batch_format="pyarrow")
     pairs = bands.groupby("shard") \
         .map_groups(shard_pairs_group, batch_format="pandas") \
         .materialize()  # post-LSH residue stays as distributed blocks
@@ -1010,32 +1027,36 @@ def q_dedup_ngram_jaccard(sf_dir: str, t_num: int = 4, t_den: int = 5):
     prefix filter dropped no qualifying pair.
 
     Distributed end-to-end (see ``stages/dedup.py``'s All-Pairs block
-    for the theorem and the shuffle-by-shuffle plan): the only
-    materialized intermediate is the exploded (doc, shingle) index,
-    consumed by two downstream stages — at petabyte scale swap the
-    ``materialize()`` for a parquet checkpoint or recompute; the
-    structure is unchanged. Every shuffle key is masked into
-    cluster-derived shard groups, and the final verify is the same
-    pairs⋈documents⋈documents hash-join pattern as
-    ``dedup_minhash_verified``."""
-    import functools
-
+    for the theorem and the shuffle-by-shuffle plan): the exploded
+    (doc, shingle) index STREAMS into the frequency-attach groupby —
+    the per-token frequency is computed inside that same shard group,
+    so no second consumer and no materialize barrier. Every shuffle key
+    is masked into shard groups under ONE driver-derived mask, and the
+    final verify is the same pairs⋈documents⋈documents hash-join
+    pattern as ``dedup_minhash_verified``."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
-    from pdfextract_ray.stages.dedup import (ngram_jaccard, prefix_pairs_shard,
+    from pdfextract_ray.stages.dedup import (default_shard_mask, ngram_jaccard,
+                                             prefix_pairs_shard,
                                              prefix_tokens_shard,
                                              shingle_explode_batch,
                                              token_freq_shard)
 
     threshold = t_num / t_den
+    # mask derived ONCE on the driver: token_freq_shard's completeness
+    # premise (all rows of one h32 in one shard group) requires every
+    # explode task to agree on the same mask
+    mask = default_shard_mask()
     exploded = _read_balanced(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(shingle_explode_batch, batch_format="pyarrow") \
-        .materialize()
+        .map_batches(functools.partial(shingle_explode_batch, shard_mask=mask),
+                     batch_format="pyarrow")
     with_freq = exploded.groupby("shard") \
-        .map_groups(token_freq_shard, batch_format="pandas")
+        .map_groups(functools.partial(token_freq_shard, shard_mask=mask),
+                    batch_format="pandas")
     prefixes = with_freq.groupby("dshard") \
         .map_groups(functools.partial(prefix_tokens_shard,
-                                      t_num=t_num, t_den=t_den),
+                                      t_num=t_num, t_den=t_den,
+                                      shard_mask=mask),
                     batch_format="pandas")
     pairs = prefixes.groupby("tshard") \
         .map_groups(functools.partial(prefix_pairs_shard,

@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from pdfextract_ray.stages.textstats import ascii_words
+
 NUM_PERM = 64
 NUM_BANDS = 16           # 16 bands x 4 rows
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS
@@ -70,8 +72,13 @@ def _mask(shard_mask: int | None) -> int:
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (crc32 of the joined shingle)."""
-    words = text.lower().split()
+    """Hashes of word k-shingles (crc32 of the joined shingle).
+
+    Words split under the pinned ASCII-whitespace tokenizer contract
+    (textstats.ascii_words) so the DuckDB oracle mirrors — whose RE2
+    split cannot match Python str.split()'s Unicode set — tokenize
+    identically on non-ASCII-whitespace text."""
+    words = ascii_words(text.lower())
     if len(words) < k:
         base = [" ".join(words)] if words else [""]
     else:
@@ -407,8 +414,9 @@ def pc_cast(arr):
 # ---------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (md5-derived feature bits)."""
-    words = text.lower().split()
+    """64-bit SimHash over word features (md5-derived feature bits).
+    Words split under the pinned ASCII-whitespace tokenizer contract."""
+    words = ascii_words(text.lower())
     if not words:
         return 0
     hs = np.array(

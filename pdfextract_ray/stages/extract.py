@@ -53,9 +53,9 @@ EXTRACT_SCHEMA = pa.schema([
 
 
 def url_partition(url: str | None, num_partitions: int) -> int:
+    """Deterministic partition assignment (stable across runs/processes)."""
     if url is None:  # malformed row (null key) — lands in partition 0
         return 0
-    """Deterministic partition assignment (stable across runs/processes)."""
     return zlib.crc32(url.encode("utf-8")) % num_partitions
 
 

@@ -25,8 +25,32 @@ import pyarrow.compute as pc
 LETTER_CLASS = r"[A-Z0-9\-\[\],.\"'()]"
 YEAR_WORD_RE = re.compile(r"[^\d]\d{4}[^\d]")
 TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")  # BPE-ish pre-tokenizer
-WS_RE = re.compile(r"\s+")
 PUNCT_CLASS = r"[,.;:!?'\"()\[\]-]"
+
+# Tokenizer contract, shared with every DuckDB oracle that splits or
+# collapses whitespace: ASCII whitespace [ \t\n\v\f\r] ONLY. Python's
+# str.split() / re \s additionally split on \x1c-\x1f, \x85, \xa0 and
+# the Unicode spaces, while DuckDB's RE2 '\s' does NOT (and RE2 \s also
+# excludes \v) — on real web text (NBSP is ubiquitous) the two engines
+# would tokenize differently and every word-level oracle hash would
+# silently depend on the corpus being ASCII. Both sides therefore pin
+# the explicit class: Python uses these helpers, the oracle SQL uses
+# '[ \t\n\x0B\f\r]+'. (The crc32/ascii() SQL mirrors additionally
+# assume ASCII text BYTES; that narrower contract is documented at the
+# mirror definitions.)
+ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+# a char Python treats as whitespace but the ASCII class does not —
+# presence forces the exact (regex) split; absence makes C-speed
+# str.split() identical by definition
+_NON_ASCII_WS_RE = re.compile(r"[^\S \t\n\x0b\f\r]")
+
+
+def ascii_words(text: str) -> list[str]:
+    """Split on ASCII whitespace exactly (empty tokens dropped)."""
+    if _NON_ASCII_WS_RE.search(text) is None:
+        return text.split()
+    return [w for w in ASCII_WS_RE.split(text) if w]
+
 
 _STOPWORDS_SQL = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
                   "it", "that", "for", "on", "with", "as")
@@ -45,7 +69,7 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     word_counts = np.empty(len(texts), dtype=np.int64)
     year_counts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        words = (t or "").split()
+        words = ascii_words(t or "")
         word_counts[i] = len(words)
         year_counts[i] = sum(1 for w in words if YEAR_WORD_RE.search(w))
     year_ratio = np.divide(year_counts, word_counts,
@@ -62,9 +86,10 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of the lowercased, whitespace-collapsed
-    text (matches DuckDB ``md5(regexp_replace(lower(text),'\\s+',' ','g'))``)."""
+    text (matches the DuckDB mirror under the pinned ASCII-whitespace
+    class — see the tokenizer contract above ``ascii_words``)."""
     fps = [
-        hashlib.md5(WS_RE.sub(" ", (t or "").lower()).encode("utf-8")).hexdigest()
+        hashlib.md5(ASCII_WS_RE.sub(" ", (t or "").lower()).encode("utf-8")).hexdigest()
         for t in batch["text"].to_pylist()
     ]
     return pa.table({"doc_id": batch["doc_id"],
@@ -83,7 +108,7 @@ def rolling_fingerprint(text: str, n_mins: int = 4) -> str:
     text; the fingerprint is the ``n_mins`` smallest window hashes
     (order-insensitive, locally robust to small edits — unlike a
     whole-document digest, sharing most windows keeps most mins)."""
-    norm = WS_RE.sub(" ", (text or "").lower()).encode("utf-8")
+    norm = ASCII_WS_RE.sub(" ", (text or "").lower()).encode("utf-8")
     if len(norm) < _RH_K:
         norm = norm + b"\x00" * (_RH_K - len(norm))
     h = 0
@@ -126,7 +151,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     n_stop = np.empty(len(texts), dtype=np.int64)
     sum_len = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        words = (t or "").lower().split()
+        words = ascii_words((t or "").lower())
         n_words[i] = len(words)
         n_stop[i] = sum(1 for w in words if w in sw)
         sum_len[i] = sum(len(w) for w in words)
@@ -153,7 +178,7 @@ def bigram_partials_batch(batch: pa.Table) -> pa.Table:
     from collections import Counter
     counts: Counter = Counter()
     for t in batch["text"].to_pylist():
-        words = (t or "").lower().split()
+        words = ascii_words((t or "").lower())
         counts.update("%s %s" % (words[i], words[i + 1])
                       for i in range(len(words) - 1))
     return pa.table({

@@ -80,3 +80,21 @@ def read_manifests(out_dir: str) -> dict[int, dict]:
             with open(os.path.join(d, name), encoding="utf-8") as f:
                 out[int(name[6:-5])] = json.load(f)
     return out
+
+
+def canonical_table_md5(table) -> str:
+    """Content hash of an Arrow table's ROWS, stable across slicing and
+    retries: serializing a SLICED table via IPC keeps the original
+    buffer offsets, so byte-identical rows arriving at different block
+    positions would hash differently — rebuild with fresh zero-based
+    buffers first. Used for content-keyed output names (retry
+    idempotence) and null-key dedup sentinels."""
+    import hashlib
+
+    import pyarrow as pa
+
+    canon = pa.Table.from_pylist(table.to_pylist(), schema=table.schema)
+    buf = pa.BufferOutputStream()
+    with pa.ipc.new_stream(buf, canon.schema) as w:
+        w.write_table(canon)
+    return hashlib.md5(buf.getvalue().to_pybytes()).hexdigest()

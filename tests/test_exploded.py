@@ -342,3 +342,23 @@ def test_exploded_to_dir_sink_idempotent_name(ray_session, corpus_path,
     again = _read_dir_sorted(out)
     assert len(glob.glob(out + "/finished-*.parquet")) == n_files
     assert list(first["url"]) == list(again["url"])
+
+
+def test_exploded_to_dir_rerun_clears_stale_finished(ray_session,
+                                                     corpus_path, tmp_path):
+    """Rerun-equals-recompute: a rerun over a SHRUNK corpus must not
+    leave the removed documents' finished part files behind (names are
+    content-keyed, so a changed block composition can't overwrite them
+    — they must be cleared at run start)."""
+    import ray
+    from pdfextract_ray.pipelines.exploded import extract_exploded_to_dir
+    from pdfextract_ray.pipelines.extract_pipeline import read_corpus
+
+    out = str(tmp_path / "sink_shrink")
+    extract_exploded_to_dir(read_corpus(corpus_path), out, concurrency=2)
+    full = _read_dir_sorted(out)
+    keep = sorted(full["url"])[: len(full) // 2]
+    shrunk = read_corpus(corpus_path).filter(lambda r: r["url"] in set(keep))
+    extract_exploded_to_dir(shrunk, out, concurrency=2)
+    again = _read_dir_sorted(out)
+    assert sorted(again["url"]) == keep  # no stale rows from run 1

@@ -192,3 +192,34 @@ def test_lang_id_special_casing_sides_with_oracle():
     assert duck == 2                       # oracle counts 'ist'
     assert out["marker_ratio"][0] == 0.5   # 2 of 4 — matches oracle
     assert out["pred_lang"][0] == "de"
+
+
+def test_ascii_words_contract_fuzz():
+    """The pinned tokenizer: ascii_words ≡ the explicit-class regex
+    split on EVERY input (the str.split() fast path may only fire when
+    equal), and ≡ DuckDB's regexp_split_to_array with the same class —
+    including NBSP / \\x1c / \\x85 / \\v inputs where Python's Unicode
+    split and RE2 '\\s' disagree."""
+    import random
+
+    import duckdb
+
+    from pdfextract_ray.stages.textstats import ASCII_WS_RE, ascii_words
+
+    def exact(s):
+        return [w for w in ASCII_WS_RE.split(s) if w]
+
+    rng = random.Random(99)
+    alphabet = list("ab1.") + [" ", "\t", "\n", "\v", "\f", "\r",
+                               "\x1c", "\x1d", "\x85", "\xa0", " "]
+    cases = ["", " ", "a\xa0b", "a\x1cb", "\va\v", "a  b"]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+              for _ in range(300)]
+    con = duckdb.connect()
+    for s in cases:
+        got = ascii_words(s)
+        assert got == exact(s), repr(s)
+        sql = con.execute(
+            "SELECT list_filter(regexp_split_to_array(?, "
+            "'[ \t\n\x0B\f\r]+'), x -> x <> '')", [s]).fetchone()[0]
+        assert got == sql, repr(s)
