@@ -215,12 +215,22 @@ def _parse_warc_date(raw: bytes | None) -> int:
 
 
 def _http_body(payload: bytes) -> bytes | None:
-    """HTTP response payload → entity body (None = not parseable HTTP)."""
+    """HTTP response payload → entity body (None = skip the record:
+    not parseable HTTP, or a declared non-HTML Content-Type — crawls
+    interleave images/PDF/JS responses in the same segment; a missing
+    Content-Type is given the benefit of the doubt)."""
     if not payload.startswith(b"HTTP/"):
         return None
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         return None
+    for line in payload[:sep].split(b"\r\n")[1:]:
+        k, s, v = line.partition(b":")
+        if s and k.strip().lower() == b"content-type":
+            ct = v.strip().lower()
+            if ct and b"html" not in ct and not ct.startswith(b"text/"):
+                return None
+            break
     return payload[sep + 4:]
 
 

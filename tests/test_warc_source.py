@@ -180,3 +180,29 @@ def test_parse_warc_fuzz_never_raises_and_recovers():
             assert got == urls[:pos] + urls[pos + 1:]
 
     prop()
+
+
+def test_parse_warc_skips_non_html_content_type():
+    """The module contract says non-HTML payloads are skipped: a
+    response record declaring image/jpeg must not become a corpus row;
+    text/html, text/plain and no-Content-Type records must."""
+    from pdfextract_ray.sources.readers import parse_warc_records
+
+    def rec(url, ctype, body=b"<p>x</p>"):
+        http = b"HTTP/1.1 200 OK\r\n"
+        if ctype is not None:
+            http += b"Content-Type: " + ctype + b"\r\n"
+        http += b"\r\n" + body
+        head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n")
+        return head + http + b"\r\n\r\n"
+
+    buf = (rec(b"http://a/", b"text/html; charset=utf-8")
+           + rec(b"http://b/", b"image/jpeg", b"\xff\xd8\xff")
+           + rec(b"http://c/", b"application/pdf", b"%PDF-1.4")
+           + rec(b"http://d/", None)
+           + rec(b"http://e/", b"text/plain", b"hello")
+           + rec(b"http://f/", b"application/xhtml+xml"))
+    urls = [u for u, _, _ in parse_warc_records(buf)]
+    assert urls == ["http://a/", "http://d/", "http://e/", "http://f/"]
