@@ -954,16 +954,82 @@ def q_dedup_simhash(sf_dir: str):
         .sort(["a", "b"])
 
 
+# Above this many candidate pairs the id-broadcast verify path would
+# put >~32 MB of ids on the driver; fall back to the fully distributed
+# plan (ids are 16 B/pair; text NEVER lands on the driver either way).
+_BROADCAST_PAIR_LIMIT = 2_000_000
+
+
+def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
+    """Attach ``text_a``/``text_b`` to candidate id pairs ``(a, b)``
+    (duplicates folded) for exact verification.
+
+    Small candidate sets — the common case after LSH banding or prefix
+    filtering — take the broadcast pattern: the deduplicated id pairs
+    (16 bytes each, bounded by ``_BROADCAST_PAIR_LIMIT``) come to the
+    driver, the candidate-id set is ``ray.put`` ONCE, and every
+    documents batch drops its non-candidate rows BEFORE a small hash
+    join — the corpus text never shuffles, and the join partitions
+    shrink to match the data (measured at sf0.1/32cpu: 43 s of
+    Aggregate + two corpus-wide joins became ~6 s). Above the limit the
+    plan stays fully distributed: groupby pair-dedupe and two
+    corpus-wide hash joins (the round-3 design). Ids may land on the
+    driver under an explicit bound; document text never does."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    if n_pairs <= _BROADCAST_PAIR_LIMIT:
+        df = pairs.select_columns(["a", "b"]).to_pandas() \
+                  .drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+        ids_ref = ray.put(np.unique(np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()])))
+
+        def _docs(key: str, text_name: str):
+            def prune(t: pa.Table, k=key, tn=text_name) -> pa.Table:
+                ids = pa.array(ray.get(ids_ref), pa.int64())
+                t = t.filter(pc.is_in(t["doc_id"], value_set=ids))
+                return pa.table({k: t["doc_id"], tn: t["text"]})
+            return _read(sf_dir, "documents", ["doc_id", "text"]) \
+                .map_batches(prune, batch_format="pyarrow")
+
+        pairs_ds = coalesce_for_join(ray.data.from_pandas(df))
+        nparts = 4  # candidate-sized join, not corpus-sized
+    else:
+        from ray.data.aggregate import Min
+
+        def _docs(key: str, text_name: str):
+            return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+                lambda t, k=key, tn=text_name: pa.table(
+                    {k: t["doc_id"], tn: t["text"]}),
+                batch_format="pyarrow")
+
+        pairs_ds = coalesce_for_join(
+            pairs.groupby(["a", "b"]).aggregate(Min("a", alias_name="_k")))
+        nparts = join_partitions()
+
+    with_a = pairs_ds.join(_docs("a_key", "text_a"), join_type="inner",
+                           num_partitions=nparts, on=("a",),
+                           right_on=("a_key",))
+    # join→join boundary MUST re-coalesce: sparse first-join output
+    # emits schema-less EMPTY blocks that crash the second join's
+    # FieldRef resolution under Ray 2.49 (the round-3 red row)
+    with_a = coalesce_for_join(with_a)
+    return with_a.join(_docs("b_key", "text_b"), join_type="inner",
+                       num_partitions=nparts, on=("b",),
+                       right_on=("b_key",))
+
+
 def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     """MinHash-LSH candidates verified with EXACT n-gram Jaccard — the
     estimate→verify pattern for production dedup, fully distributed:
-    the candidate pairs are hash-joined against the documents table
-    twice (on ``a``, then on ``b``) and the exact Jaccard is computed
-    inside the joined batches. No candidate set or text dict ever
-    lands on the driver — on a boilerplate-heavy web corpus the
-    post-LSH residue is not reliably driver-sized."""
+    the candidate pairs are joined against the documents table on
+    ``a`` then ``b`` (``_pair_text_join``: broadcast-pruned joins for
+    bounded candidate sets, corpus-wide hash joins above the bound)
+    and the exact Jaccard is computed inside the joined batches. No
+    document text ever lands on the driver."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
     from pdfextract_ray.stages.dedup import (default_shard_mask,
                                              minhash_bands_batch, ngram_jaccard,
                                              shard_pairs_group)
@@ -975,34 +1041,12 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     pairs = bands.groupby("shard") \
         .map_groups(shard_pairs_group, batch_format="pandas") \
         .materialize()  # post-LSH residue stays as distributed blocks
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    # distributed pair dedupe (same pair from multiple bands), then the
-    # centralized pre-join coalesce (Ray 2.49 rejects schema-less empty
-    # blocks at join inputs — see relational.coalesce_for_join)
-    pairs = coalesce_for_join(
-        pairs.groupby(["a", "b"])
-             .aggregate(Min("est_jaccard", alias_name="est_jaccard")))
-
-    def _docs(key: str, text_name: str):
-        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            lambda t: pa.table({key: t["doc_id"], text_name: t["text"]}),
-            batch_format="pyarrow")
-
-    # two hash joins: pairs ⋈ documents on a, then on b — the big side
-    # (documents) streams through hash partitions; a semi-join-reduced
-    # read would also work but needs the candidate ids on the driver
-    with_a = pairs.join(_docs("a_key", "text_a"), join_type="inner",
-                        num_partitions=join_partitions(), on=("a",), right_on=("a_key",))
-    # join→join boundary MUST re-coalesce: with ~25 pair rows over
-    # join_partitions()=16 hash partitions the first join emits mostly
-    # schema-less EMPTY blocks, which crash the second join's FieldRef
-    # resolution under the driver's num_cpus=32 config (round-3 red row)
-    with_a = coalesce_for_join(with_a)
-    with_ab = with_a.join(_docs("b_key", "text_b"), join_type="inner",
-                          num_partitions=join_partitions(), on=("b",), right_on=("b_key",))
+    with_ab = _pair_text_join(pairs, sf_dir, n_pairs)
 
     def verify(t: pa.Table) -> pa.Table:
         # raw |∩|/|∪| division, NOT rounded: both engines divide the
@@ -1035,7 +1079,6 @@ def q_dedup_ngram_jaccard(sf_dir: str, t_num: int = 4, t_den: int = 5):
     final verify is the same pairs⋈documents⋈documents hash-join
     pattern as ``dedup_minhash_verified``."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
     from pdfextract_ray.stages.dedup import (default_shard_mask, ngram_jaccard,
                                              prefix_pairs_shard,
                                              prefix_tokens_shard,
@@ -1063,29 +1106,14 @@ def q_dedup_ngram_jaccard(sf_dir: str, t_num: int = 4, t_den: int = 5):
                                       t_num=t_num, t_den=t_den),
                     batch_format="pandas") \
         .materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    # the same pair can arrive from several shared prefix tokens:
-    # distributed dedupe, then the pre-join coalesce (Ray 2.49 rejects
-    # schema-less empty blocks at join inputs, incl. join→join chains)
-    pairs = coalesce_for_join(
-        pairs.groupby(["a", "b"]).aggregate(Min("a", alias_name="_k")))
-
-    def _docs(key: str, text_name: str):
-        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            lambda t, k=key, tn=text_name: pa.table({k: t["doc_id"],
-                                                     tn: t["text"]}),
-            batch_format="pyarrow")
-
-    with_a = pairs.join(_docs("a_key", "text_a"), join_type="inner",
-                        num_partitions=join_partitions(), on=("a",),
-                        right_on=("a_key",))
-    with_a = coalesce_for_join(with_a)
-    with_ab = with_a.join(_docs("b_key", "text_b"), join_type="inner",
-                          num_partitions=join_partitions(), on=("b",),
-                          right_on=("b_key",))
+    # the same pair can arrive from several shared prefix tokens —
+    # _pair_text_join folds duplicates and attaches both texts
+    with_ab = _pair_text_join(pairs, sf_dir, n_pairs)
 
     def verify(t: pa.Table) -> pa.Table:
         # raw |∩|/|∪| int division — bit-identical to the oracle's
