@@ -445,8 +445,9 @@ def doc_length_histogram(sf_dir: str, bucket: int = 50) -> "ray.data.Dataset":
 
 
 def sample_docs(sf_dir: str) -> "ray.data.Dataset":
-    """Deterministic 10% sample (hash-bucket filter — reproducible across
-    runs and partitionings, unlike RNG sampling; SQL-matched)."""
+    """Deterministic 1-in-8 (12.5%) sample (hash-bucket filter —
+    reproducible across runs and partitionings, unlike RNG sampling;
+    SQL-matched: ``doc_id & 7 = 0``)."""
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "lang", "n_chars"])
 

@@ -41,7 +41,7 @@ def assign_cells_batch(batch: pa.Table, centroids_ref) -> pa.Table:
     import ray
     centroids = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) \
         else centroids_ref
-    mat = _normalize(batch_matrix(batch))
+    mat = _normalize(batch_matrix(batch, dim=centroids.shape[1]))
     cells = (mat @ centroids.T).argmax(axis=1).astype(np.int32)
     return pa.table({
         "cell": pa.array(cells, pa.int32()),
@@ -65,7 +65,7 @@ class IvfTopKPartial:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(batch_matrix(batch))
+        mat = _normalize(batch_matrix(batch, dim=self.qn.shape[1]))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         cells = batch["cell"].to_numpy(zero_copy_only=False)
         out_q, out_v, out_s = [], [], []

@@ -263,40 +263,38 @@ class ResizeImages:
     def __init__(self, max_dim: int = 32) -> None:
         self.max_dim = max_dim
 
+    def _resize(self, payload: bytes, decode, encode) -> tuple:
+        """REAL resize: decode → nearest-neighbor subsample → re-encode.
+        Catch EVERYTHING a corrupt payload can raise (zlib.error on a
+        bad IDAT, struct.error on a truncated header, IndexError on
+        short pixel data — none are ValueError) and fall back to
+        passing the payload through: one poisoned blob must never kill
+        the block (same rule as DecodeMedia)."""
+        try:
+            w, h, px = decode(payload)
+            scale = min(1.0, self.max_dim / max(w, h, 1))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+            yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+            return encode(px[yi][:, xi]), nw, nh
+        except Exception:
+            return payload, 0, 0
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_payloads, out_w, out_h = [], [], []
         for kind, payload in zip(batch["kind"].to_pylist(),
                                  batch["payload"].to_pylist()):
             if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
-                try:
-                    w, h, px = decode_png(payload)
-                    scale = min(1.0, self.max_dim / max(w, h, 1))
-                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                    xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
-                    yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
-                    out_payloads.append(encode_png(px[yi][:, xi]))
-                    out_w.append(nw)
-                    out_h.append(nh)
-                except ValueError:
-                    out_payloads.append(payload)
-                    out_w.append(0)
-                    out_h.append(0)
+                p, nw, nh = self._resize(payload, decode_png, encode_png)
+                out_payloads.append(p)
+                out_w.append(nw)
+                out_h.append(nh)
                 continue
             if kind == "image" and payload[:2] == b"BM":
-                # REAL resize: decode → nearest-neighbor subsample → re-encode
-                try:
-                    w, h, px = decode_bmp(payload)
-                    scale = min(1.0, self.max_dim / max(w, h, 1))
-                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                    xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
-                    yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
-                    out_payloads.append(encode_bmp(px[yi][:, xi]))
-                    out_w.append(nw)
-                    out_h.append(nh)
-                except ValueError:
-                    out_payloads.append(payload)
-                    out_w.append(0)
-                    out_h.append(0)
+                p, nw, nh = self._resize(payload, decode_bmp, encode_bmp)
+                out_payloads.append(p)
+                out_w.append(nw)
+                out_h.append(nh)
                 continue
             if kind != "image" or len(payload) < 12 or payload[:2] != b"PX":
                 out_payloads.append(payload)

@@ -29,7 +29,16 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+def batch_matrix(batch: pa.Table, col: str = "embedding",
+                 dim: int | None = None) -> np.ndarray:
+    """Stack a list<float> column into an (n, dim) float64 matrix.
+
+    A ZERO-ROW block (empty parquet fragment, a filter that drained a
+    block) would crash np.stack ('need at least one array to stack');
+    return the typed (0, dim) empty instead so every vector stage
+    passes empties through like the pandas group fns do."""
+    if batch.num_rows == 0:
+        return np.empty((0, dim or 0), dtype=np.float64)
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -47,7 +56,7 @@ class TopKPartial:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(batch_matrix(batch))
+        mat = _normalize(batch_matrix(batch, dim=self.qn.shape[1]))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         sims = mat @ self.qn.T  # (batch, queries)
         k = min(self.k, sims.shape[0])
@@ -89,13 +98,27 @@ def topk_merge_group(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     return df
 
 
+_HP_PLANES_MEMO: dict[int, np.ndarray] = {}
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic hyperplane matrix, computed ONCE per process per
+    dim (it was rebuilt per batch on the hot LSH path — pure waste;
+    the seed makes the memoized value identical everywhere)."""
+    planes = _HP_PLANES_MEMO.get(dim)
+    if planes is None:
+        rng = np.random.RandomState(_HP_RNG_SEED)
+        planes = rng.standard_normal((dim, N_TABLES * BITS_PER_TABLE))
+        _HP_PLANES_MEMO[dim] = planes
+    return planes
+
+
 def hyperplane_bucket_batch(batch: pa.Table, dim: int) -> pa.Table:
     """LSH explode: one row per (vector, table) with a sign-pattern bucket
     key — multiple independent tables recover recall that a single
     hyperplane signature loses (p_bucket = (1-θ/π)^bits per table)."""
-    rng = np.random.RandomState(_HP_RNG_SEED)
-    planes = rng.standard_normal((dim, N_TABLES * BITS_PER_TABLE))
-    mat = _normalize(batch_matrix(batch))
+    planes = _hyperplanes(dim)
+    mat = _normalize(batch_matrix(batch, dim=dim))
     bits = (mat @ planes) > 0
     n = len(mat)
     table_ids = np.repeat(np.arange(N_TABLES, dtype=np.int32), n)

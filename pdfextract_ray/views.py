@@ -66,7 +66,7 @@ def _fmt(v, precision: int = PRECISION) -> str:
 
 
 def render_xml_row(title: str | None, references: list | None,
-                   spans: list | None, n_pages: int) -> str:
+                   spans: list | None) -> str:
     """Compact span projection (title + references + bbox spans)."""
     out = ["<pdf>"]
     if title:
@@ -101,9 +101,8 @@ def render_xml_batch(batch: pa.Table) -> pa.Table:
         else [None] * batch.num_rows
     spans = batch["spans"].to_pylist() if "spans" in batch.column_names \
         else [None] * batch.num_rows
-    n_pages = batch["n_pages"].to_pylist()
-    for t, r, s, n in zip(titles, refs, spans, n_pages):
-        xmls.append(render_xml_row(t, r, s, n))
+    for t, r, s in zip(titles, refs, spans):
+        xmls.append(render_xml_row(t, r, s))
     return batch.append_column("xml", pa.array(xmls, pa.string()))
 
 
@@ -155,8 +154,11 @@ def _write_obj(out: list[str], obj: dict, name: str, indent: int,
             attrs.append((k, _fmt(float(v), precision)))
         else:
             # bools route through _fmt so a boolean attribute renders
-            # 'true'/'false' like everywhere else, not 'True'/'False'
-            attrs.append((k, _fmt(v) if isinstance(v, bool) else str(v)))
+            # 'true'/'false' like everywhere else, not 'True'/'False';
+            # None renders as the EMPTY string (Ruby nil.to_s), never
+            # the literal 'None'
+            attrs.append((k, _fmt(v) if isinstance(v, bool)
+                          else ("" if v is None else str(v))))
     attr_s = "".join(" %s=%s" % (k, quoteattr(v)) for k, v in attrs)
 
     text = None

@@ -194,3 +194,25 @@ def test_wav_property_roundtrip():
         assert np.array_equal(out, sig)
 
     check()
+
+
+def test_resize_survives_corrupt_payloads():
+    """A corrupt PNG (zlib.error from a bad IDAT, struct.error from a
+    truncated header — neither is ValueError) must pass through as an
+    unresized row, never kill the block."""
+    import pyarrow as pa
+    from pdfextract_ray.stages.multimodal import ResizeImages, encode_png
+    import numpy as np
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    bad_idat = good[:40] + b"\x00" * (len(good) - 40)  # corrupt stream
+    truncated = good[:20]
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["image"] * 3, pa.string()),
+        "payload": pa.array([good, bad_idat, truncated], pa.binary()),
+    })
+    out = ResizeImages(max_dim=2)(t)
+    assert out.num_rows == 3
+    w = out["width"].to_pylist()
+    assert w[0] == 2 and w[1] == 0 and w[2] == 0  # corrupt → pass-through

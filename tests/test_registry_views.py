@@ -69,7 +69,6 @@ def test_xml_row_rendering():
                     {"content": "Ref two", "order": None}],
         spans=[{"kind": "region", "page": 1, "x": 72.0, "y": 700.123,
                 "width": 140.0, "height": 10.5}],
-        n_pages=1,
     )
     assert "<title>A &lt;Title&gt; &amp; Co</title>" in xml
     assert '<reference order="1">Ref one</reference>' in xml
