@@ -237,13 +237,27 @@ def main(argv=None) -> int:
         from pdfextract_ray.registry import default_registry
         reg = default_registry()
         ctx = {"settings": settings}
+        if args.cmd == "extract":
+            # flag-combination contract: a requested output must never
+            # be silently dropped
+            if args.xml and (args.exploded or args.adaptive):
+                raise SystemExit(
+                    "--xml is only supported on the plain extract path "
+                    "(the exploded/adaptive routers emit the extraction "
+                    "schema); drop --xml or run without --exploded/--adaptive")
+            if args.exploded and args.adaptive:
+                raise SystemExit(
+                    "--exploded and --adaptive are mutually exclusive "
+                    "(adaptive already routes mega-docs to the exploded path)")
         ds = None if (args.cmd == "curate" and args.extracted) \
-            else _corpus_ds(args)
+            or (args.cmd == "extract" and args.adaptive
+                and not args.html_dir and _has_size_column(args.corpus)) \
+            else _corpus_ds(args)  # pushdown builds its own filtered reads
         if args.cmd == "extract":
             if args.adaptive:
                 from pdfextract_ray.pipelines.exploded import (
                     extract_adaptive, extract_adaptive_pushdown)
-                if not args.html_dir and _has_size_column(args.corpus):
+                if ds is None:
                     out = extract_adaptive_pushdown(
                         args.corpus, settings=settings,
                         threshold_bytes=args.adaptive_threshold)

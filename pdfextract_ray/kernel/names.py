@@ -50,6 +50,10 @@ def load_gazetteer(path: str | None = None) -> dict[str, bool]:
 
 
 def load_stopwords(path: str | None = None) -> frozenset[str]:
+    """Parity artifact: the reference ships data/stopwords.txt and loads
+    it (names.rb:18) but its live scoring path never consults the set —
+    the accessor exists so a user of the reference's API finds the same
+    surface here; nothing internal calls it either (same inert quirk)."""
     path = path or os.path.join(_DATA_DIR, "stopwords.txt")
     with open(path, "r", encoding="utf-8") as f:
         return frozenset(w.strip() for w in f.read().split(",") if w.strip())
@@ -57,9 +61,13 @@ def load_stopwords(path: str | None = None) -> frozenset[str]:
 
 def _query_form(word: str) -> str:
     # names.rb:33-35 — Ruby String#capitalize (first char upper, rest
-    # lower) then upcase the char following each hyphen.
+    # lower) then upcase the char following each hyphen. The SINGLE
+    # definition of the lookup form; detect_names' memo calls it on its
+    # cold path only (unseen words), so the hot path stays memo-speed.
     w = word.capitalize()
-    return _HYPHEN_CAP_RE.sub(lambda m: "-" + m.group(1).upper(), w)
+    if "-" in w:
+        w = _HYPHEN_CAP_RE.sub(lambda m: "-" + m.group(1).upper(), w)
+    return w
 
 
 class NamesDatabase:
@@ -99,15 +107,7 @@ class NamesDatabase:
                 memo.clear()
             for word in words:
                 if word not in memo:
-                    # names.rb:29-35: downcase → capitalize → upcase-
-                    # after-hyphen. Python str.capitalize() == Ruby
-                    # downcase+capitalize; the hyphen pass only matters
-                    # when a hyphen is present.
-                    q = word.capitalize()
-                    if "-" in q:
-                        q = _HYPHEN_CAP_RE.sub(
-                            lambda m: "-" + m.group(1).upper(), q)
-                    amb = gazetteer.get(q)
+                    amb = gazetteer.get(_query_form(word))
                     memo[word] = 0.0 if amb is None else \
                         (AMBIGUOUS_WEIGHT if amb else UNAMBIGUOUS_WEIGHT)
             total = sum(map(memo.get, words))

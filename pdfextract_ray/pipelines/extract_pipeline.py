@@ -208,7 +208,27 @@ def run_extract(corpus_path: str, out_dir: str, *,
     num_shards = min(num_shards, len(files))
     shards = {s: files[s::num_shards] for s in range(num_shards)}
 
-    done = mf.done_shards(out_dir) if resume else set()
+    done: set[int] = set()
+    if resume:
+        # A manifest filename is not enough to skip a shard: the
+        # shard→file assignment must MATCH this run's. Resuming with a
+        # different --shards or a changed corpus silently re-slices the
+        # file list, so skipped indices would no longer cover the same
+        # files (data loss) and kept shard dirs would overlap re-run
+        # ones (duplication). Any mismatch is refused outright — resume
+        # into the same config, or use a fresh --out.
+        for s, payload in mf.read_manifests(out_dir).items():
+            want = [os.path.basename(f) for f in shards.get(s, [])]
+            have = payload.get("files")
+            if s < num_shards and have == want:
+                done.add(s)
+            else:
+                raise ValueError(
+                    "resume mismatch for shard %d under %s: the manifest "
+                    "records files %r but this run assigns %r (different "
+                    "--shards or a changed corpus). Rerun with the "
+                    "original configuration or a fresh --out."
+                    % (s, out_dir, have, want))
     os.makedirs(out_dir, exist_ok=True)
 
     stats = {"shards_total": num_shards, "shards_skipped": 0, "rows": 0,

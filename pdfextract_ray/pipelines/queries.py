@@ -97,8 +97,11 @@ def ensure_extracted(sf_dir: str) -> str:
     from pdfextract_ray.sources.corpus import ensure_corpus
 
     corpus = ensure_corpus(sf_dir)
-    out_dir = os.path.join(EXTRACT_CACHE_ROOT,
-                           os.path.basename(os.path.normpath(sf_dir)))
+    # key the extract cache by the CORPUS cache key (which embeds a
+    # fingerprint of the source table): a regenerated or relocated
+    # documents.parquet gets a fresh extraction dir instead of
+    # colliding with a stale one (the resume guard would refuse it)
+    out_dir = os.path.join(EXTRACT_CACHE_ROOT, os.path.basename(corpus))
     run_extract(corpus, out_dir, num_shards=4, resume=True)
     return out_dir
 

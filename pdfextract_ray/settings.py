@@ -13,7 +13,7 @@ Ray serializes it once per task submission, never per batch.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, fields, replace
 from typing import Any, Mapping
 
 
@@ -57,6 +57,15 @@ class Settings:
         config-parse time, not mid-job on a worker."""
         if not overrides:
             return self
+
+        # validate keys BEFORE coercing values: an unknown key with a
+        # non-numeric value would otherwise die inside float() with a
+        # message that never names the real problem (the typo'd key)
+        known = {f.name for f in fields(self)}
+        unknown = sorted(set(overrides) - known)
+        if unknown:
+            raise ValueError("unknown setting(s) %s — valid settings: %s"
+                             % (", ".join(unknown), ", ".join(sorted(known))))
 
         def coerce(k: str, v: Any):
             if k in self._STR_FIELDS:

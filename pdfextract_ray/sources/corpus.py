@@ -206,7 +206,17 @@ def ensure_corpus(sf_dir: str, cache_root: str = "/tmp/pdfx_corpus",
     """
     import ray.data
 
-    key = os.path.basename(os.path.normpath(sf_dir)) + "-v2"  # v2: +html_size
+    # cache key = basename + a fingerprint of the SOURCE table (abs
+    # path, size, mtime): basename alone would serve /data/b/sf0.001 a
+    # corpus generated from /data/a/sf0.001, or stale pages after the
+    # documents parquet is regenerated in place — silently, under
+    # benchmarks and tests
+    import hashlib
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(("%s|%d|%d" % (os.path.abspath(src), st.st_size,
+                                    st.st_mtime_ns)).encode()).hexdigest()[:10]
+    key = "%s-v2-%s" % (os.path.basename(os.path.normpath(sf_dir)), fp)
     if repeat != 1:
         key = "%s-x%d" % (key, repeat)
     out_dir = os.path.join(cache_root, key)

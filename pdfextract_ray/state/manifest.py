@@ -40,6 +40,12 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp.%d" % os.getpid()
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(obj, f, indent=1, sort_keys=True)
+        # fsync BEFORE the rename: os.replace orders the directory
+        # entry, not the file data — a crash could otherwise leave a
+        # durable name pointing at truncated bytes, permanently marking
+        # an incomplete shard as done
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -57,28 +63,29 @@ def write_shard_metrics(out_dir: str, shard: int, payload: dict | list) -> None:
 
 
 def done_shards(out_dir: str) -> set[int]:
-    d = manifest_dir(out_dir)
-    if not os.path.isdir(d):
-        return set()
-    done = set()
-    for name in os.listdir(d):
-        if name.startswith("shard-") and name.endswith(".json"):
-            try:
-                done.add(int(name[6:-5]))
-            except ValueError:
-                continue
-    return done
+    """Shard ids with a VALID manifest. Filename alone is not proof of
+    completion — an unparseable/truncated manifest (crash between data
+    write and a non-durable rename on old kernels, manual tampering)
+    means the shard must re-run, not be skipped forever."""
+    return set(read_manifests(out_dir))
 
 
 def read_manifests(out_dir: str) -> dict[int, dict]:
+    """Parse every valid shard manifest; tolerate strays the same way
+    done_shards does (a shard-0001-bak.json backup or a 0-byte file is
+    skipped, never a crash — the two walkers must agree)."""
     d = manifest_dir(out_dir)
     out = {}
     if not os.path.isdir(d):
         return out
     for name in sorted(os.listdir(d)):
         if name.startswith("shard-") and name.endswith(".json"):
-            with open(os.path.join(d, name), encoding="utf-8") as f:
-                out[int(name[6:-5])] = json.load(f)
+            try:
+                shard = int(name[6:-5])
+                with open(os.path.join(d, name), encoding="utf-8") as f:
+                    out[shard] = json.load(f)
+            except (ValueError, json.JSONDecodeError):
+                continue
     return out
 
 

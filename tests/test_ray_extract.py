@@ -235,3 +235,38 @@ def test_dedup_by_url_null_urls_not_collapsed(ray_session):
     assert len(out[out["url"] == "u1"]) == 1
     nulls = out[out["url"].isna()]
     assert sorted(nulls["html"]) == [b"b", b"c"]
+
+
+def test_resume_refuses_changed_shard_assignment(ray_session, corpus_path,
+                                                 tmp_path):
+    """Resuming with a different --shards re-slices the file list; shard
+    indices would no longer cover the same files (silent data loss).
+    The manifest records each shard's file list; a mismatch must refuse,
+    not skip."""
+    import pytest
+    from pdfextract_ray.pipelines.extract_pipeline import run_extract
+    out = str(tmp_path / "mismatch")
+    run_extract(corpus_path, out, num_shards=4, concurrency=2)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_extract(corpus_path, out, num_shards=2, concurrency=2)
+
+
+def test_resume_reruns_shard_with_truncated_manifest(ray_session,
+                                                     corpus_path, tmp_path):
+    """A 0-byte/unparseable manifest (crash between rename and data
+    durability) must mean NOT done — the shard re-runs instead of being
+    skipped forever, and stats/read_manifests never crash on it."""
+    from pdfextract_ray.pipelines.extract_pipeline import run_extract
+    from pdfextract_ray.state import manifest as mf
+    out = str(tmp_path / "trunc")
+    run_extract(corpus_path, out, num_shards=2, concurrency=2)
+    # truncate shard 1's manifest and delete its (possibly partial) data
+    open(os.path.join(out, "_manifests", "shard-0001.json"), "w").close()
+    shutil.rmtree(os.path.join(out, "shard=0001"))
+    assert mf.done_shards(out) == {0}
+    # stray backup file must not crash either walker
+    open(os.path.join(out, "_manifests", "shard-0001-bak.json"), "w").close()
+    assert set(mf.read_manifests(out)) == {0}
+    s = run_extract(corpus_path, out, num_shards=2, concurrency=2)
+    assert s["shards_skipped"] == 1  # shard 0 skipped, shard 1 re-ran
+    assert mf.done_shards(out) == {0, 1}
