@@ -123,3 +123,22 @@ def test_ray_ngram_jaccard_equals_bruteforce_oracle():
     assert got["a"].tolist() == want["a"].tolist()
     assert got["b"].tolist() == want["b"].tolist()
     assert got["jaccard"].tolist() == want["jaccard"].tolist()  # bit-exact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pair_text_join_distributed_fallback_equals_broadcast(monkeypatch):
+    """Above _BROADCAST_PAIR_LIMIT the verify falls back to the fully
+    distributed plan (groupby dedupe + corpus-wide hash joins). Force
+    that path by zeroing the limit and require the same verified rows —
+    the fallback must never rot unexercised."""
+    from pdfextract_ray.pipelines import queries as Q
+    sf = "/root/testdata/sf0.001"
+    small = Q.q_dedup_ngram_jaccard(sf).to_pandas()
+    monkeypatch.setattr(Q, "_BROADCAST_PAIR_LIMIT", 0)
+    big = Q.q_dedup_ngram_jaccard(sf).to_pandas()
+    small = small.sort_values(["a", "b"]).reset_index(drop=True)
+    big = big.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(small) == len(big) > 0
+    assert small["a"].tolist() == big["a"].tolist()
+    assert small["b"].tolist() == big["b"].tolist()
+    assert small["jaccard"].tolist() == big["jaccard"].tolist()
