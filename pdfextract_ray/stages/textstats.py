@@ -171,6 +171,119 @@ def stopwords_sql_list() -> str:
     return "[" + ", ".join("'%s'" % w for w in _STOPWORDS_SQL) + "]"
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher/C4-style repetition signals per document: distinct-word
+    ratio, most-frequent-word mass, and duplicate word-trigram fraction
+    (Rae et al. 2021 'Scaling Language Models' repetition filters,
+    public methodology). Boilerplate-heavy or spammy web pages score
+    low distinct ratios / high duplicate fractions. All three are
+    per-row int/int divisions → bit-identical to the DuckDB mirror."""
+    from collections import Counter
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    n_words = np.empty(n, dtype=np.int64)
+    n_distinct = np.empty(n, dtype=np.int64)
+    top_freq = np.empty(n, dtype=np.int64)
+    n_tri = np.empty(n, dtype=np.int64)
+    n_tri_distinct = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = ascii_words((t or "").lower())
+        c = Counter(words)
+        n_words[i] = len(words)
+        n_distinct[i] = len(c)
+        top_freq[i] = max(c.values()) if c else 0
+        tris = ["%s %s %s" % (words[j], words[j + 1], words[j + 2])
+                for j in range(len(words) - 2)]
+        n_tri[i] = len(tris)
+        n_tri_distinct[i] = len(set(tris))
+    distinct_ratio = np.divide(n_distinct, n_words,
+                               out=np.zeros(n), where=n_words > 0)
+    top_word_ratio = np.divide(top_freq, n_words,
+                               out=np.zeros(n), where=n_words > 0)
+    dup_tri = np.divide(n_tri - n_tri_distinct, n_tri,
+                        out=np.zeros(n), where=n_tri > 0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words),
+        "distinct_ratio": pa.array(distinct_ratio),
+        "top_word_ratio": pa.array(top_word_ratio),
+        "dup_trigram_ratio": pa.array(dup_tri),
+    })
+
+
+# PII detector patterns — RE2-compatible (no lookaround/backrefs) so
+# pyarrow's count_substring_regex and DuckDB's regexp_extract_all
+# (both RE2, leftmost-first non-overlapping) count identically;
+# cross-engine parity is pinned by test_textstats.py on synthetic
+# PII-laden docs.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_phones": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_scan_batch(batch: pa.Table) -> pa.Table:
+    """Per-document PII indicator counts (emails / IPv4 / NANP phone
+    shapes) — the scan step of a redaction pipeline, fully vectorized
+    (one RE2 pass per pattern over the whole batch)."""
+    text = pc.fill_null(batch["text"], "")
+    cols = {"doc_id": batch["doc_id"]}
+    for name, pat in PII_PATTERNS.items():
+        cols[name] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+    return pa.table(cols)
+
+
+def unigram_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch word counts (combiner half of the distributed unigram
+    frequency aggregation; one row per distinct word per batch)."""
+    from collections import Counter
+    counts: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        counts.update(ascii_words((t or "").lower()))
+    return pa.table({
+        "word": pa.array(list(counts.keys()), pa.string()),
+        "n": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+class VocabCoverage:
+    """Actor-pool stage: fraction of a document's tokens that fall in
+    the corpus's top-V vocabulary (a cheap LM-free proxy for 'in
+    distribution' quality scoring; two-pass, the vocab is broadcast
+    once via ``ray.put``). Vectorized like LangId: one split, one
+    ``pc.is_in`` over the flattened token column, ``np.bincount`` per
+    doc. hits/n_words is an int/int division → bit-exact vs SQL."""
+
+    def __init__(self, vocab_ref) -> None:
+        import ray
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, list) \
+            else vocab_ref
+        self.value_set = pa.array(sorted(vocab), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = pc.fill_null(
+            pc.utf8_lower(batch["text"].combine_chunks()), "")
+        words = pc.ascii_split_whitespace(texts)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+        wc = np.bincount(par, minlength=n).astype(np.int64)
+        m = pc.is_in(flat, value_set=self.value_set) \
+            .to_numpy(zero_copy_only=False)
+        hits = np.bincount(par[m], minlength=n).astype(np.int64) \
+            if m.any() else np.zeros(n, dtype=np.int64)
+        coverage = np.divide(hits, wc, out=np.zeros(n), where=wc > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(wc),
+            "coverage": pa.array(coverage),
+        })
+
+
 def bigram_partials_batch(batch: pa.Table) -> pa.Table:
     """Per-batch word-bigram counts (the combiner half of a distributed
     n-gram frequency aggregation — the groupby shuffles one row per

@@ -223,3 +223,131 @@ def test_ascii_words_contract_fuzz():
             "SELECT list_filter(regexp_split_to_array(?, "
             "'[ \t\n\x0B\f\r]+'), x -> x <> '')", [s]).fetchone()[0]
         assert got == sql, repr(s)
+
+
+REP_ROWS = pa.table({
+    "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    "text": [
+        "spam spam spam spam spam spam",          # one word repeated
+        "a b c a b c a b c",                       # repeated trigram
+        "all distinct words here now",             # no repetition
+        "x y",                                     # < 3 words (no trigrams)
+        "   ",                                     # zero words
+    ],
+})
+
+
+def test_repetition_matches_duckdb():
+    from pdfextract_ray.pipelines.queries import _DOC_REPETITION_SQL
+    con = duckdb.connect()
+    con.register("documents", REP_ROWS)
+    mine = T.repetition_batch(REP_ROWS).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    oracle = con.sql(_DOC_REPETITION_SQL).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_words", "distinct_ratio", "top_word_ratio",
+                "dup_trigram_ratio"]:
+        assert list(mine[col]) == list(oracle[col]), col
+    # spot values: doc 1 is all one word; doc 2 has 7 trigrams, 3 distinct
+    m = mine.set_index("doc_id")
+    assert m.loc[1, "top_word_ratio"] == 1.0
+    assert m.loc[1, "distinct_ratio"] == 1.0 / 6.0
+    assert m.loc[2, "dup_trigram_ratio"] == 4.0 / 7.0
+    assert m.loc[3, "dup_trigram_ratio"] == 0.0
+    assert m.loc[4, "dup_trigram_ratio"] == 0.0
+    assert m.loc[5, "n_words"] == 0
+
+
+PII_ROWS = pa.table({
+    "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    "text": [
+        "contact alice@example.com or bob.smith+x@sub.domain.org today",
+        "server at 10.0.0.1, backup 192.168.001.255; port 1.2.3.4.5",
+        "call 555-123-4567 or 555.123.4567 x89",
+        "no pii in this document at all 1234",
+        "mixed a@b.co 8.8.8.8 911-555-0000",
+    ],
+})
+
+
+def test_pii_scan_matches_duckdb():
+    """Cross-engine parity of the RE2 PII patterns (pyarrow
+    count_substring_regex vs DuckDB regexp_extract_all) on docs that
+    actually contain PII — the corpus itself is PII-free, so the
+    driver's oracle green alone would be a weak (all-zero) check."""
+    from pdfextract_ray.pipelines.queries import _pii_sql
+    con = duckdb.connect()
+    con.register("documents", PII_ROWS)
+    mine = T.pii_scan_batch(PII_ROWS).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    oracle = con.sql(_pii_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_emails", "n_ipv4", "n_phones"]:
+        assert list(mine[col]) == list(oracle[col]), col
+    m = mine.set_index("doc_id")
+    assert m.loc[1, "n_emails"] == 2
+    assert m.loc[2, "n_ipv4"] >= 2
+    assert m.loc[3, "n_phones"] == 2
+    assert (m.loc[4] == 0).all()
+
+
+def test_vocab_coverage_matches_duckdb():
+    """VocabCoverage batch kernel vs the full two-pass SQL (the SQL
+    derives top-V itself; the Python side derives it with the same
+    (count desc, word asc) tie-break)."""
+    from collections import Counter
+
+    from pdfextract_ray.pipelines.queries import (_VOCAB_COVERAGE_SQL,
+                                                  _VOCAB_TOP_V)
+    rows = pa.table({
+        "doc_id": pa.array(list(range(1, 7)), pa.int64()),
+        "text": [
+            "the cat sat on the mat",
+            "the dog ate the cat food",
+            "zebra xylophone quartz jumble vortex",
+            "the the the rare rare word",
+            "on on on cat dog mat food sat ate word",
+            "",
+        ],
+    })
+    counts: Counter = Counter()
+    for t in rows["text"].to_pylist():
+        counts.update(T.ascii_words(t.lower()))
+    vocab = [w for w, _ in sorted(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))][:_VOCAB_TOP_V]
+    mine = T.VocabCoverage(vocab)(rows).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", rows)
+    oracle = con.sql(_VOCAB_COVERAGE_SQL).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(mine["n_words"]) == list(oracle["n_words"])
+    assert list(mine["coverage"]) == list(oracle["coverage"])
+    m = mine.set_index("doc_id")
+    assert m.loc[3, "coverage"] == 0.0        # all out-of-vocab
+    assert m.loc[6, "coverage"] == 0.0        # empty doc
+    assert 0.0 < m.loc[1, "coverage"] <= 1.0
+
+
+def test_stratified_sample_formula_matches_duckdb():
+    from pdfextract_ray.pipelines.queries import (_STRATA_MULT,
+                                                  _STRATA_RATES,
+                                                  _STRATIFIED_SAMPLE_SQL)
+    rows = pa.table({
+        "doc_id": pa.array(list(range(0, 400)), pa.int64()),
+        "lang": [["en", "de", "fr", "zh"][i % 4] for i in range(400)],
+        "n_chars": pa.array([i * 3 for i in range(400)], pa.int64()),
+    })
+    kept = {
+        i for i in range(400)
+        if (i * _STRATA_MULT) % 97 < (_STRATA_RATES["en"] if i % 4 == 0
+                                      else _STRATA_RATES["default"])
+    }
+    con = duckdb.connect()
+    con.register("documents", rows)
+    oracle = set(con.sql(_STRATIFIED_SAMPLE_SQL).df()["doc_id"])
+    assert oracle == kept
+    # en stratum is downsampled relative to the rest
+    en_rate = len([i for i in kept if i % 4 == 0]) / 100
+    other_rate = len([i for i in kept if i % 4 != 0]) / 300
+    assert en_rate < other_rate
