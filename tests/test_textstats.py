@@ -351,3 +351,54 @@ def test_stratified_sample_formula_matches_duckdb():
     en_rate = len([i for i in kept if i % 4 == 0]) / 100
     other_rate = len([i for i in kept if i % 4 != 0]) / 300
     assert en_rate < other_rate
+
+
+def test_repetition_and_coverage_fuzz_parity():
+    """Hypothesis fuzz: repetition_batch and VocabCoverage match their
+    DuckDB mirrors on random docs over an adversarial alphabet (exotic
+    whitespace included — the known cross-engine failure class is
+    tokenizer divergence, see the ascii_words contract)."""
+    from collections import Counter
+
+    from hypothesis import given, settings as hsettings, strategies as st
+
+    from pdfextract_ray.pipelines.queries import (_DOC_REPETITION_SQL,
+                                                  _VOCAB_COVERAGE_SQL,
+                                                  _VOCAB_TOP_V)
+
+    word = st.text(alphabet="abc1.\xa0\x1c", min_size=1, max_size=4)
+    sep = st.sampled_from([" ", "\t", "\n", "\v", "\f", "\r", "  "])
+    doc = st.lists(st.tuples(word, sep), min_size=0, max_size=25) \
+        .map(lambda ps: "".join(w + s for w, s in ps))
+
+    @hsettings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        rows = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": texts,
+        })
+        con = duckdb.connect()
+        con.register("documents", rows)
+
+        mine = T.repetition_batch(rows).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        oracle = con.sql(_DOC_REPETITION_SQL).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for col in ["n_words", "distinct_ratio", "top_word_ratio",
+                    "dup_trigram_ratio"]:
+            assert list(mine[col]) == list(oracle[col]), (col, texts)
+
+        counts: Counter = Counter()
+        for t in texts:
+            counts.update(T.ascii_words(t.lower()))
+        vocab = [w for w, _ in sorted(counts.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))][:_VOCAB_TOP_V]
+        cov = T.VocabCoverage(vocab)(rows).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        cov_oracle = con.sql(_VOCAB_COVERAGE_SQL).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(cov["n_words"]) == list(cov_oracle["n_words"]), texts
+        assert list(cov["coverage"]) == list(cov_oracle["coverage"]), texts
+
+    check()
