@@ -839,6 +839,83 @@ FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id
 """ % _VOCAB_TOP_V
 
 
+_LM_TOP_V = 30_000
+
+
+def q_doc_lm_score(sf_dir: str, top_v: int = _LM_TOP_V):
+    """CCNet-style unigram LM scoring (the technique behind CCNet's
+    perplexity bucketing, Wenzek et al. 2020): pass 1 derives the
+    corpus top-V unigram distribution (distributed count, partial
+    top-k per block, V rows + one scalar to the driver); pass 2
+    broadcasts the integer micro-nat cost table once via ``ray.put``
+    and scores every document's in-vocab negative log-likelihood.
+    All outputs are int64 (the only float op, ``ln``, runs once per
+    VOCAB WORD on a double identical in both engines), so the oracle
+    hash is deterministic — no float-aggregation-order exposure."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+    from pdfextract_ray.stages.textstats import (LmScore,
+                                                 lm_micronats_from_counts,
+                                                 unigram_partials_batch)
+
+    counts = _read_balanced(sf_dir, "documents", ["text"]) \
+        .map_batches(unigram_partials_batch, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n")) \
+        .materialize()  # consumed twice: total + top-V (vocab-sized, not corpus-sized)
+    total = counts.aggregate(Sum("n", alias_name="total"))["total"]
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, top_v, [("n", "descending"), ("word", "ascending")])
+        return t.take(idx)
+
+    top = counts.map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["n", "word"], descending=[True, False]).limit(top_v) \
+        .take_all()  # V rows by construction — the broadcast table
+    words = [r["word"] for r in top]
+    mn = lm_micronats_from_counts([r["n"] for r in top], int(total))
+    vocab_ref = ray.put((words, mn))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(LmScore, fn_constructor_args=(vocab_ref,),
+                     batch_format="pyarrow", concurrency=(1, 4),
+                     batch_size=1024)
+
+
+# Mirror of LmScore + lm_micronats_from_counts: identical expression
+# shape — n / CAST(total AS DOUBLE), floor(-ln(p)*1e6 + 0.5) — so the
+# per-word micro-nat ints match unless the engines' ln() differ by
+# enough to cross a .5 boundary (one double per vocab word; gated by
+# tools/check_oracles.py before the driver ever sees it).
+_DOC_LM_SCORE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+cnt AS (SELECT word, count(*) AS n FROM u GROUP BY word),
+tot AS (SELECT sum(n) AS total FROM cnt),
+vocab AS (
+  SELECT word,
+         CAST(floor(-ln(n / CAST(total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS mn
+  FROM (SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT %d), tot
+),
+agg AS (
+  SELECT u.doc_id,
+         count(*) FILTER (WHERE v.mn IS NULL) AS n_oov,
+         CAST(coalesce(sum(v.mn), 0) AS BIGINT) AS lm_micronats
+  FROM u LEFT JOIN vocab v ON u.word = v.word
+  GROUP BY u.doc_id
+)
+SELECT w.doc_id, len(words) AS n_words,
+       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+       coalesce(lm_micronats, 0) AS lm_micronats
+FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+""" % _LM_TOP_V
+
+
 # deterministic per-language sampling rates (permille of the 97-slot
 # Knuth-hash ring): downsample the dominant language, keep the rest —
 # the standard corpus-rebalancing step of a multilingual training mix.
@@ -1764,6 +1841,7 @@ def build_queries() -> dict:
         "source_stats": q_source_stats,
         "vocab_coverage": q_vocab_coverage,
         "stratified_sample": q_stratified_sample,
+        "doc_lm_score": q_doc_lm_score,
         # ---- rows-only (18): non-SQL-expressible pipelines.
         # Ordered by driver-evidence value: the self-verifying /
         # metric-bearing queries first; the tail past the 50-entry
@@ -1774,14 +1852,15 @@ def build_queries() -> dict:
         "extract_adaptive": q_extract_adaptive,
         "extract_references": q_extract_references,
         "extract_accuracy": q_extract_accuracy,
-        "resolved_references": q_resolved_references,
         "bibtex": q_bibtex,
         "curate_corpus": q_curate_corpus,
         "curate_corpus_neardup": q_curate_corpus_neardup,
         "extraction_metrics": q_extraction_metrics,
         "knn_ivf_recall": q_knn_ivf_recall,
         "embedding_near_dup": q_embedding_near_dup,
-        # ---- past the 50-slot driver window (pytest-golden covered)
+        # ---- past the 50-slot driver window (pytest-golden covered;
+        # resolved_references' chain stays driver-covered via `bibtex`)
+        "resolved_references": q_resolved_references,
         "extract_titles": q_extract_titles,
         "extract_xml_spatials": q_extract_xml_spatials,
         "extract_mark_svg": q_extract_mark_svg,
@@ -1831,4 +1910,5 @@ def build_oracles() -> dict:
         "source_stats": _SOURCE_STATS_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "doc_lm_score": _DOC_LM_SCORE_SQL,
     }

@@ -247,6 +247,72 @@ def unigram_partials_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+class LmScore:
+    """Actor-pool stage: CCNet-style unigram language-model scoring
+    (Wenzek et al. 2020 — public methodology). The corpus's top-V
+    unigram distribution is broadcast once; each document gets its
+    total in-vocab negative log-likelihood. Per-token cost is the
+    INTEGER micro-nat ``floor(-ln(p)*1e6 + 0.5)`` so the per-doc sum
+    is an int64 aggregation — order-independent and bit-exact against
+    the DuckDB mirror (the only cross-engine float op is ``ln`` on an
+    identical double, computed once per vocab word, not per token).
+
+    ``vocab_ref``: ray ObjectRef (or plain pair for tests) of
+    ``(words, micronats)`` — parallel lists, words pre-sorted is not
+    required."""
+
+    def __init__(self, vocab_ref) -> None:
+        if isinstance(vocab_ref, tuple):
+            words, mn = vocab_ref
+        else:
+            import ray
+            words, mn = ray.get(vocab_ref)
+        self.vocab = pa.array(words, pa.string())
+        self.micronats = np.asarray(mn, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = pc.fill_null(
+            pc.utf8_lower(batch["text"].combine_chunks()), "")
+        words = pc.ascii_split_whitespace(texts)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+        wc = np.bincount(par, minlength=n).astype(np.int64)
+
+        idx = pc.index_in(flat, value_set=self.vocab)
+        oov = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        idx_np = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_oov = np.bincount(par[oov], minlength=n).astype(np.int64) \
+            if oov.any() else np.zeros(n, dtype=np.int64)
+        inv = ~oov
+        # int64 micro-nats summed via float64 bincount weights: each
+        # weight < ~4e7 and per-doc token counts are bounded, so the
+        # sums stay far below 2^53 — exact
+        lm = np.zeros(n, dtype=np.int64)
+        if inv.any():
+            costs = self.micronats[idx_np[inv]]
+            lm = np.bincount(par[inv], weights=costs.astype(np.float64),
+                             minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(wc),
+            "n_oov": pa.array(n_oov),
+            "lm_micronats": pa.array(lm),
+        })
+
+
+def lm_micronats_from_counts(counts, total: int) -> np.ndarray:
+    """Integer micro-nat cost per vocab word: floor(-ln(n/total)*1e6
+    + 0.5), replicating the DuckDB mirror's expression op-for-op (the
+    division and ln see identical doubles in both engines)."""
+    p = np.asarray(counts, dtype=np.int64) / float(total)
+    return np.floor(-np.log(p) * 1e6 + 0.5).astype(np.int64)
+
+
 class VocabCoverage:
     """Actor-pool stage: fraction of a document's tokens that fall in
     the corpus's top-V vocabulary (a cheap LM-free proxy for 'in

@@ -402,3 +402,43 @@ def test_repetition_and_coverage_fuzz_parity():
         assert list(cov["coverage"]) == list(cov_oracle["coverage"]), texts
 
     check()
+
+
+def test_lm_score_matches_duckdb_including_oov():
+    """LmScore vs the full two-pass SQL mirror, with the top-V cap
+    small enough that real OOV tokens occur (V=3 over a larger
+    vocabulary)."""
+    from collections import Counter
+
+    from pdfextract_ray.stages.textstats import (LmScore,
+                                                 lm_micronats_from_counts)
+    rows = pa.table({
+        "doc_id": pa.array(list(range(1, 6)), pa.int64()),
+        "text": [
+            "the cat and the dog and the cat",
+            "the rare xylophone",
+            "cat dog cat dog and",
+            "",
+            "unseen words only here",
+        ],
+    })
+    counts: Counter = Counter()
+    for t in rows["text"].to_pylist():
+        counts.update(T.ascii_words(t.lower()))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    words = [w for w, _ in top]
+    mn = lm_micronats_from_counts([n for _, n in top], sum(counts.values()))
+    mine = LmScore((words, mn))(rows).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    from pdfextract_ray.pipelines.queries import _DOC_LM_SCORE_SQL
+    sql = _DOC_LM_SCORE_SQL.replace("LIMIT 30000", "LIMIT 3")
+    con = duckdb.connect()
+    con.register("documents", rows)
+    oracle = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_words", "n_oov", "lm_micronats"]:
+        assert list(mine[col]) == list(oracle[col]), col
+    m = mine.set_index("doc_id")
+    assert m.loc[4, "n_words"] == 0 and m.loc[4, "lm_micronats"] == 0
+    assert m.loc[5, "n_oov"] == m.loc[5, "n_words"]   # fully OOV
+    assert m.loc[1, "lm_micronats"] > 0
