@@ -793,7 +793,13 @@ def q_vocab_coverage(sf_dir: str, top_v: int = _VOCAB_TOP_V):
     """Two-pass vocab-coverage quality score: pass 1 derives the
     corpus top-V vocabulary (distributed unigram count, partial top-k
     per block, tiny final sort); pass 2 broadcasts it once via
-    ``ray.put`` and scores every doc's in-vocab token fraction."""
+    ``ray.put`` and scores every doc's in-vocab token fraction.
+
+    V=10 is corpus-size independent (the top-10 words of any natural
+    corpus are its function words — the score measures function-word
+    density, not corpus memorization), unlike a size-tuned threshold;
+    for a broader in-distribution proxy use ``doc_lm_score``, whose
+    V=30k unigram table is the production-scale variant."""
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
