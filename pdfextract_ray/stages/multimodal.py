@@ -455,3 +455,69 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     elif nch == 4:
         px = px[:, :, :3]
     return w, h, np.ascontiguousarray(px)
+
+
+class MultimodalSuite:
+    """Actor-pool stage fusing the three media ops — decode,
+    nearest-neighbor resize, frame sampling — into ONE pass per
+    payload: one row per media with the per-stage outputs as columns
+    (nulls where a stage doesn't apply to the modality).
+
+    Merges the three per-stage driver queries (``multimodal_decode``,
+    ``multimodal_resize``, ``multimodal_frames``) into a single
+    registry entry without losing any stage's evidence: ``decoded``/
+    ``width``/``height`` pin the decode, ``resized_md5`` pins the
+    re-encoded resized image bytes, and ``n_frames``/``frames_md5``
+    pin the exact sampled PCM windows (md5 over the concatenated
+    frames in index order). Each sub-stage is the SAME code path as
+    its standalone class (composition, not reimplementation)."""
+
+    def __init__(self, max_dim: int = 32, n_frames: int = 4,
+                 frame_bytes: int = 32) -> None:
+        self._decode = DecodeMedia()
+        self._resize = ResizeImages(max_dim=max_dim)
+        self._frames = SampleFrames(n_frames=n_frames,
+                                    frame_bytes=frame_bytes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = self._decode(batch)
+        r = self._resize(batch)
+        f = self._frames(batch)
+        # group the frame explosion back per media (in-batch, ordered)
+        frame_acc: dict[int, list[bytes]] = {}
+        for mid, frame in zip(f["media_id"].to_pylist(),
+                              f["frame"].to_pylist()):
+            frame_acc.setdefault(mid, []).append(frame)
+        kinds = batch["kind"].to_pylist()
+        res_w, res_h, res_md5 = [], [], []
+        n_frames, frames_md5 = [], []
+        for i, (mid, kind) in enumerate(
+                zip(batch["media_id"].to_pylist(), kinds)):
+            if kind == "image":
+                res_w.append(r["width"][i].as_py())
+                res_h.append(r["height"][i].as_py())
+                res_md5.append(hashlib.md5(r["payload"][i].as_py())
+                               .hexdigest())
+                n_frames.append(None)
+                frames_md5.append(None)
+            else:
+                res_w.append(None)
+                res_h.append(None)
+                res_md5.append(None)
+                frames = frame_acc.get(mid, [])
+                n_frames.append(len(frames))
+                frames_md5.append(
+                    hashlib.md5(b"".join(frames)).hexdigest()
+                    if frames else None)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "width": d["width"],
+            "height": d["height"],
+            "decoded": d["decoded"],
+            "resized_width": pa.array(res_w, pa.int32()),
+            "resized_height": pa.array(res_h, pa.int32()),
+            "resized_md5": pa.array(res_md5, pa.string()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+            "frames_md5": pa.array(frames_md5, pa.string()),
+        })

@@ -313,3 +313,48 @@ def render_mark_batch(batch: pa.Table) -> pa.Table:
     svgs = [render_mark_svg(s) for s in batch["spans"].to_pylist()]
     return pa.table({"url": batch["url"],
                      "svg": pa.array(svgs, pa.string())})
+
+
+class ExtractViews(XmlSpatials):
+    """Actor-pool stage: corpus rows → (url, title, xml, svg) — every
+    render sink of the reference in ONE ``run_document`` pass per row.
+
+    Merges the three per-sink queries (``extract_titles``,
+    ``extract_xml_spatials``, ``extract_mark_svg``) into a single
+    driver-registry entry: the title pick (titles.rb live path), the
+    full per-type XmlView render (xml_view.rb:34-109, all five types),
+    and the PdfView "mark" overlay (pdf_view.rb:7-39) share one kernel
+    extraction instead of three. The svg spans use the flagship's span
+    construction (region rows + zone rows — stages/extract.py) so the
+    overlay is identical to ``render_mark_batch`` over flagship output."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdfextract_ray.kernel.document import run_document
+        titles, xmls, svgs = [], [], []
+        for html in batch["html"].to_pylist():
+            try:
+                r = run_document(html if html is not None else b"",
+                                 self.settings, self.gazetteer)
+                titles.append(r.title)
+                xmls.append(render_spatials_xml(
+                    collect_objects(r, self.types), self.precision,
+                    self.lines, self.outline))
+                spans = [
+                    {"kind": "region", "page": g["page"], "x": g["x"],
+                     "y": g["y"], "width": g["width"], "height": g["height"]}
+                    for g in r.regions
+                ] + [
+                    {"kind": z["zone"], "page": z["page"], "x": z["x"],
+                     "y": z["y"], "width": z["width"], "height": z["height"]}
+                    for z in r.zones
+                ]
+                svgs.append(render_mark_svg(spans))
+            except Exception as exc:  # per-row isolation
+                titles.append(None)
+                xmls.append("<pdf><error>%s</error></pdf>"
+                            % escape("%s: %s" % (type(exc).__name__, exc)))
+                svgs.append(render_mark_svg([]))
+        return pa.table({"url": batch["url"],
+                         "title": pa.array(titles, pa.string()),
+                         "xml": pa.array(xmls, pa.string()),
+                         "svg": pa.array(svgs, pa.string())})
