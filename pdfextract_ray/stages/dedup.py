@@ -623,3 +623,108 @@ def prefix_pairs_shard(df: pd.DataFrame, t_num: int, t_den: int
                              "b": pd.Series(dtype="int64")})
     return pd.DataFrame({"a": np.concatenate(a_out).astype(np.int64),
                          "b": np.concatenate(b_out).astype(np.int64)})
+
+
+# ----------------------------------------------------- decontamination
+
+def eval_shingle_batch(batch: pa.Table, eval_mod: int = 37) -> pa.Table:
+    """Pass 1 of the decontamination scan: the DISTINCT word-3-gram
+    crc32 shingles of this batch's EVAL rows (doc_id % eval_mod == 0 —
+    the deterministic stand-in for a benchmark suite; in production the
+    benchmark side is external, bounded input, never corpus-sized)."""
+    ids = batch["doc_id"].to_pylist()
+    acc: set[int] = set()
+    for doc_id, text in zip(ids, batch["text"].to_pylist()):
+        if doc_id % eval_mod == 0:
+            acc.update(int(v) for v in _shingle_hashes(text or ""))
+    return pa.table({"h32": pa.array(sorted(acc), pa.int64())})
+
+
+class DecontaminateScan:
+    """Pass 2: actor-pool membership scan of every NON-eval doc's
+    shingle set against the broadcast eval-shingle array (``ray.put``
+    once, ``ray.get`` once per actor in ``__init__`` — the same
+    bounded-small-side pattern as VocabCoverage). Integer outputs only,
+    so the driver's oracle hash has no float-aggregation exposure."""
+
+    def __init__(self, eval_ref, eval_mod: int = 37) -> None:
+        import ray
+        self.eval_sorted = np.asarray(ray.get(eval_ref), dtype=np.int64)
+        self.eval_mod = eval_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        n_sh: list[int] = []
+        n_hit: list[int] = []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            if doc_id % self.eval_mod == 0:
+                continue
+            hs = _shingle_hashes(text or "").astype(np.int64)
+            hits = np.isin(hs, self.eval_sorted, assume_unique=True)
+            ids_out.append(doc_id)
+            n_sh.append(len(hs))
+            n_hit.append(int(hits.sum()))
+        n_hit_arr = pa.array(n_hit, pa.int64())
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_contaminated": n_hit_arr,
+            "is_contaminated": pc.greater(n_hit_arr, 0),
+        })
+
+
+# ------------------------------------------- paragraph-level exact dedup
+
+PARA_WORDS = 16
+
+
+def paragraph_hashes(text: str, words_per_para: int = PARA_WORDS
+                     ) -> list[int]:
+    """crc32 of each non-overlapping ``words_per_para``-word window of
+    the lowercased ASCII-tokenized text (last window = remainder) — the
+    C4-style span-dedup unit, sized in words because the corpus has no
+    sentence punctuation. NOT deduplicated per doc: within-doc repeats
+    count toward a span's global occurrence count."""
+    words = ascii_words((text or "").lower())
+    return [zlib.crc32(" ".join(words[i:i + words_per_para]).encode("utf-8"))
+            for i in range(0, len(words), words_per_para)]
+
+
+def paragraph_explode_batch(batch: pa.Table,
+                            shard_mask: int | None = None) -> pa.Table:
+    """One row per (doc, paragraph-window crc32), sharded by hash so a
+    shard group sees EVERY occurrence of its hashes."""
+    shard_mask = _mask(shard_mask)
+    ids_out: list[int] = []
+    h_out: list[int] = []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        hs = paragraph_hashes(text)
+        ids_out.extend([doc_id] * len(hs))
+        h_out.extend(hs)
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "h32": pa.array(h_out, pa.int64()),
+        "shard": pa.array([h & shard_mask for h in h_out], pa.int64()),
+    })
+
+
+def paragraph_flags_shard(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-shard group: attach each occurrence's global duplicate
+    verdict (its hash occurs >= 2 times anywhere — complete within the
+    group because shard = h32 & mask), pre-aggregated per doc to
+    (doc_id, n_paras, n_dup_paras) partials so the final doc-keyed
+    groupby moves three ints per (doc, shard)."""
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_paras": pd.Series(dtype="int64"),
+                             "n_dup_paras": pd.Series(dtype="int64")})
+    dup = df.groupby("h32")["h32"].transform("size") > 1
+    out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                        "dup": dup.to_numpy().astype(np.int64)})
+    agg = out.groupby("doc_id", sort=False).agg(
+        n_paras=("dup", "size"), n_dup_paras=("dup", "sum")).reset_index()
+    return agg.astype({"doc_id": "int64", "n_paras": "int64",
+                       "n_dup_paras": "int64"})
