@@ -97,7 +97,8 @@ def run_bench() -> dict:
         for name in ("q1_pricing", "doc_stats", "dedup_exact", "dedup_minhash",
                      "knn_cosine", "events_hourly", "events_asof_join",
                      "top_bigrams", "dedup_ngram_jaccard", "doc_repetition",
-                     "vocab_coverage", "doc_lm_score"):
+                     "vocab_coverage", "doc_lm_score", "decontaminate",
+                     "paragraph_dedup"):
             # best of 2, same protocol as the headline: the first sample
             # after an actor-pool teardown pays Ray worker respawn plus
             # this VM's page-fault warmup (~400us/4KB first touch — see
