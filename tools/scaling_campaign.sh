@@ -25,7 +25,11 @@ for attempt in $(seq 1 "${1:-6}"); do
     L=$(awk '{print $1}' /proc/loadavg)
     s0=$(awk '{print $9; exit}' /proc/stat); sleep 20
     s1=$(awk '{print $9; exit}' /proc/stat)
-    SP=$(awk -v d=$((s1-s0)) -v c="$(nproc)" 'BEGIN{printf "%.1f", 100*d/(20*100*c)}')
+    # cpu count from /proc/stat, not nproc: the sandbox shell's CPU
+    # affinity can be restricted (nproc=1), which would inflate the
+    # probe 32x and make the quiet-window gate unpassable
+    C=$(grep -c '^cpu[0-9]' /proc/stat)
+    SP=$(awk -v d=$((s1-s0)) -v c="$C" 'BEGIN{printf "%.1f", 100*d/(20*100*c)}')
     ok=$(awk -v l="$L" -v s="$SP" 'BEGIN{print (l<0.9 && s<1.5)?1:0}')
     [ "$ok" = "1" ] && break
     sleep 40
