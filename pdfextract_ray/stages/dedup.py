@@ -728,3 +728,139 @@ def paragraph_flags_shard(df: pd.DataFrame) -> pd.DataFrame:
         n_paras=("dup", "size"), n_dup_paras=("dup", "sum")).reset_index()
     return agg.astype({"doc_id": "int64", "n_paras": "int64",
                        "n_dup_paras": "int64"})
+
+
+# ----------------------------- paragraph-level removal (C4 clean step)
+
+def paragraph_explode_indexed_batch(batch: pa.Table,
+                                    shard_mask: int | None = None
+                                    ) -> pa.Table:
+    """Like ``paragraph_explode_batch`` but carries each window's
+    position (``widx``) so a downstream stage can decide keep/drop per
+    OCCURRENCE (the removal variant needs global-first order; the stats
+    variant doesn't and saves the extra int column)."""
+    shard_mask = _mask(shard_mask)
+    ids_out: list[int] = []
+    w_out: list[int] = []
+    h_out: list[int] = []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        hs = paragraph_hashes(text)
+        ids_out.extend([doc_id] * len(hs))
+        w_out.extend(range(len(hs)))
+        h_out.extend(hs)
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "widx": pa.array(w_out, pa.int64()),
+        "h32": pa.array(h_out, pa.int64()),
+        "shard": pa.array([h & shard_mask for h in h_out], pa.int64()),
+    })
+
+
+def paragraph_drops_shard(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-shard group: every occurrence that is NOT the global
+    first of its hash (first = lexicographic min (doc_id, widx) —
+    complete within the group because shard = h32 & mask) is a DROP.
+    Emits only the dropped (doc_id, widx) pairs — the duplicate
+    minority — so the join back to documents is as small as the
+    duplication rate."""
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "widx": pd.Series(dtype="int64")})
+    d = df.sort_values(["h32", "doc_id", "widx"], kind="stable")
+    first = ~d["h32"].duplicated(keep="first")
+    drops = d.loc[~first, ["doc_id", "widx"]]
+    return drops.astype({"doc_id": "int64", "widx": "int64"})
+
+
+def _rebuild_clean_batch(batch: pa.Table) -> pa.Table:
+    """Rebuild each joined row's text from its KEPT windows.
+
+    The window unit hashes the LOWERCASED text (see paragraph_hashes)
+    but the rebuilt text preserves original case: ASCII-whitespace
+    tokenization is case-insensitive (lowercasing never creates or
+    destroys ASCII whitespace), so original-case words align 1:1 with
+    the hashed windows; a length-mismatch guard falls back to the
+    lowered words (non-ASCII full-casefold pathologies)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    drops_col = batch["dropped"].to_pylist()
+    out_text: list[str] = []
+    n_paras: list[int] = []
+    n_removed: list[int] = []
+    for text, dropped in zip(texts, drops_col):
+        words = ascii_words(text or "")
+        lowered = ascii_words((text or "").lower())
+        if len(words) != len(lowered):
+            words = lowered
+        n = (len(words) + PARA_WORDS - 1) // PARA_WORDS
+        drop_set = set(map(int, dropped.split(","))) if dropped else set()
+        kept: list[str] = []
+        for i in range(n):
+            if i not in drop_set:
+                kept.extend(words[i * PARA_WORDS:(i + 1) * PARA_WORDS])
+        out_text.append(" ".join(kept))
+        n_paras.append(n)
+        n_removed.append(len(drop_set))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "clean_text": pa.array(out_text, pa.string()),
+        "n_paras": pa.array(n_paras, pa.int64()),
+        "n_removed": pa.array(n_removed, pa.int64()),
+    })
+
+
+def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
+    """C4-style span REMOVAL over a (doc_id, text) Dataset: every
+    occurrence of a 16-word window except its global first (ordered by
+    (doc_id, widx)) is deleted; returns (doc_id, clean_text, n_paras,
+    n_removed) with whitespace normalized to single spaces in
+    clean_text (the same normalization the fingerprint column uses).
+
+    Distributed plan: indexed explode (ints) → hash-shard groups emit
+    only the DROPPED (doc_id, widx) pairs → per-doc drop-lists
+    (groupby over the duplicate minority) → hash join back to
+    documents (text moves through exactly ONE shuffle, and only here)
+    → vectorless per-doc rebuild. Docs with no drops pass through the
+    left join with a null drop-list."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray.data
+    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
+                                                     join_partitions)
+
+    mask = _mask(shard_mask)
+    exploded = docs.map_batches(
+        functools.partial(paragraph_explode_indexed_batch, shard_mask=mask),
+        batch_format="pyarrow")
+    drops = exploded.groupby("shard") \
+        .map_groups(paragraph_drops_shard, batch_format="pandas")
+
+    # the drop-list rides the join as a comma-joined STRING, not
+    # list<int64>: Arrow's hash join (Ray 2.49's join operator) rejects
+    # list-typed non-key payload columns outright
+    def to_lists(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dropped": pa.array([], pa.string())})
+        g = df.sort_values("widx").groupby("doc_id", sort=False)["widx"] \
+            .agg(lambda s: ",".join(map(str, s))).reset_index()
+        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                         "dropped": pa.array(g["widx"], pa.string())})
+
+    drop_lists = drops.groupby("doc_id") \
+        .map_groups(to_lists, batch_format="pandas").materialize()
+    if drop_lists.count() == 0:
+        # no duplicates anywhere: bypass the join — a FULLY empty
+        # map_groups output yields schema-less blocks Ray 2.49's hash
+        # join cannot resolve the key against, even after coalescing
+        # (same guard as curate_neardup's dropped==0 path)
+        def passthrough(t: pa.Table) -> pa.Table:
+            return _rebuild_clean_batch(t.append_column(
+                "dropped", pa.array([None] * len(t), pa.string())))
+        return docs.map_batches(passthrough, batch_format="pyarrow")
+    joined = coalesce_for_join(docs, n=join_partitions()).join(
+        coalesce_for_join(drop_lists), join_type="left_outer",
+        on=("doc_id",), num_partitions=join_partitions())
+    return joined.map_batches(_rebuild_clean_batch, batch_format="pyarrow")

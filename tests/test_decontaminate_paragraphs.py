@@ -198,3 +198,63 @@ def test_decontaminate_oracle_sql_matches_kernel():
     assert list(oracle["doc_id"]) == list(mine["doc_id"])
     for col in ["n_shingles", "n_contaminated", "is_contaminated"]:
         assert list(oracle[col]) == list(mine[col]), col
+
+
+# ------------------------------------------------- removal variant (C4)
+
+def test_remove_duplicate_paragraphs_matches_bruteforce(ray_session):
+    import ray.data
+
+    shared = " ".join(WORDS[:16])
+    rows = [{"doc_id": i, "text": _doc(50, seed=200 + i)} for i in range(6)]
+    rows += [
+        {"doc_id": 30, "text": shared + " " + _doc(40, seed=11)},
+        {"doc_id": 31, "text": shared + " " + _doc(40, seed=12)},
+        # within-doc repeat: second occurrence must be removed too
+        {"doc_id": 32, "text": shared + " " + shared},
+        {"doc_id": 33, "text": ""},
+        # case variation: hashing is case-insensitive, rebuild keeps case
+        {"doc_id": 34, "text": shared.upper() + " " + _doc(40, seed=13)},
+    ]
+
+    # brute force: global first occurrence per hash in (doc_id, widx) order
+    first_of: dict[int, tuple[int, int]] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        for w, h in enumerate(D.paragraph_hashes(r["text"])):
+            first_of.setdefault(h, (r["doc_id"], w))
+    want = {}
+    for r in rows:
+        words = ascii_words(r["text"])
+        hs = D.paragraph_hashes(r["text"])
+        kept: list[str] = []
+        removed = 0
+        for w, h in enumerate(hs):
+            if first_of[h] == (r["doc_id"], w):
+                kept.extend(words[w * D.PARA_WORDS:(w + 1) * D.PARA_WORDS])
+            else:
+                removed += 1
+        want[r["doc_id"]] = (" ".join(kept), len(hs), removed)
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = D.remove_duplicate_paragraphs(ds).to_pandas().set_index("doc_id")
+    got = {int(d): (r["clean_text"], int(r["n_paras"]), int(r["n_removed"]))
+           for d, r in out.iterrows()}
+    assert got == want
+    # planted facts: 30 keeps its shared window (global first), 31 loses
+    # it, 32's second copy goes, 34's UPPER copy goes but keeps case in
+    # what remains, empty doc passes through
+    assert got[30][2] == 0 and got[31][2] == 1
+    assert got[32][2] >= 1
+    assert got[33] == ("", 0, 0)
+    assert got[34][2] >= 1 and got[34][0].islower()
+
+
+def test_remove_duplicate_paragraphs_no_duplicates_passthrough(ray_session):
+    import ray.data
+    rows = [{"doc_id": i, "text": _doc(50, seed=300 + i)} for i in range(5)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = D.remove_duplicate_paragraphs(ds).to_pandas().set_index("doc_id")
+    assert int(out["n_removed"].sum()) == 0
+    for r in rows:
+        assert out.loc[r["doc_id"], "clean_text"] == \
+            " ".join(ascii_words(r["text"]))
