@@ -7,6 +7,7 @@ settings; mapped to the Ray engine):
   python -m pdfextract_ray extract-bib <corpus> --out DIR
   python -m pdfextract_ray spans <corpus> --out DIR        # mark analogue: bbox parquet
   python -m pdfextract_ray curate <corpus> --out DIR       # dedup'd training corpus
+  python -m pdfextract_ray dedup-paragraphs <table> --out DIR  # C4 span removal
   python -m pdfextract_ray settings                        # list tunables
 
 <corpus> is a parquet file/dir of corpus-schema rows, or a directory of
@@ -141,6 +142,20 @@ def main(argv=None) -> int:
 
     sub.add_parser("settings", help="list tunables")
 
+    sp_p = sub.add_parser(
+        "dedup-paragraphs",
+        help="C4-style span removal over a (id, text) parquet table: "
+             "delete every 16-word window except its global first "
+             "occurrence; writes (doc_id, clean_text, n_paras, "
+             "n_removed) parquet")
+    sp_p.add_argument("table", help="parquet file/dir with an integer "
+                                    "id column and a text column")
+    sp_p.add_argument("--out", required=True)
+    sp_p.add_argument("--id-col", default="doc_id",
+                      help="integer document id column (default doc_id)")
+    sp_p.add_argument("--text-col", default="text")
+    sp_p.add_argument("--num-cpus", type=int, default=None)
+
     sp_q = sub.add_parser(
         "query", help="run a registered corpus query by name over a "
                       "table directory (see `query --list`)")
@@ -164,6 +179,41 @@ def main(argv=None) -> int:
         for f in dataclasses.fields(DEFAULT_SETTINGS):
             print("%-22s %s" % (f.name, f.default))
         return 0
+
+    if args.cmd == "dedup-paragraphs":
+        import pyarrow.dataset as pads
+        schema = pads.dataset(args.table).schema
+        for col in (args.id_col, args.text_col):
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        import pyarrow as pa
+        if not pa.types.is_integer(schema.field(args.id_col).type):
+            p.error("--id-col %r must be an integer column (got %s); the "
+                    "global-first order is (id, window index)"
+                    % (args.id_col, schema.field(args.id_col).type))
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            from pdfextract_ray.stages.dedup import \
+                remove_duplicate_paragraphs
+            ds = ray.data.read_parquet(
+                args.table, columns=[args.id_col, args.text_col])
+            if args.id_col != "doc_id" or args.text_col != "text":
+                ds = ds.rename_columns({args.id_col: "doc_id",
+                                        args.text_col: "text"})
+            remove_duplicate_paragraphs(ds).write_parquet(args.out)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     if args.cmd == "query":
         from pdfextract_ray.pipelines.queries import build_queries

@@ -129,3 +129,36 @@ def test_cli_query_print_and_out(ray_session, tmp_path, capsys):
 def test_cli_query_unknown_name(capsys):
     with pytest.raises(SystemExit):
         main(["query", "no_such_query"])
+
+
+def test_cli_dedup_paragraphs(tmp_path):
+    """dedup-paragraphs over a (doc_id, text) parquet: the second
+    occurrence of a planted shared window is removed."""
+    import pyarrow as pa
+
+    shared = " ".join("w%d" % i for i in range(16))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [shared + " unique one tail", shared + " other tail words",
+                 "entirely distinct filler content here"],
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "clean")
+    assert main(["dedup-paragraphs", src, "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t.column("n_removed").to_pylist() == [0, 1, 0]
+    assert t.column("clean_text")[1].as_py() == "other tail words"
+
+
+def test_cli_dedup_paragraphs_rejects_non_integer_id(tmp_path):
+    import pyarrow as pa
+    import pytest
+
+    tbl = pa.table({"url": ["a", "b"], "text": ["x y", "p q"]})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    with pytest.raises(SystemExit):
+        main(["dedup-paragraphs", src, "--id-col", "url",
+              "--out", str(tmp_path / "o")])
