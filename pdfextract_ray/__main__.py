@@ -156,6 +156,21 @@ def main(argv=None) -> int:
     sp_p.add_argument("--text-col", default="text")
     sp_p.add_argument("--num-cpus", type=int, default=None)
 
+    sp_d = sub.add_parser(
+        "decontaminate",
+        help="flag corpus documents overlapping an EXTERNAL eval suite "
+             "(word-3-gram overlap; the production form of the "
+             "registered `decontaminate` query)")
+    sp_d.add_argument("table", help="corpus parquet file/dir with "
+                                    "integer id + text columns")
+    sp_d.add_argument("--eval", required=True, dest="eval_table",
+                      help="benchmark-suite parquet file/dir (text "
+                           "column; benchmark-sized input)")
+    sp_d.add_argument("--out", required=True)
+    sp_d.add_argument("--id-col", default="doc_id")
+    sp_d.add_argument("--text-col", default="text")
+    sp_d.add_argument("--num-cpus", type=int, default=None)
+
     sp_q = sub.add_parser(
         "query", help="run a registered corpus query by name over a "
                       "table directory (see `query --list`)")
@@ -180,7 +195,7 @@ def main(argv=None) -> int:
             print("%-22s %s" % (f.name, f.default))
         return 0
 
-    if args.cmd == "dedup-paragraphs":
+    if args.cmd in ("dedup-paragraphs", "decontaminate"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -189,8 +204,7 @@ def main(argv=None) -> int:
                         % (col, args.table, ", ".join(schema.names)))
         import pyarrow as pa
         if not pa.types.is_integer(schema.field(args.id_col).type):
-            p.error("--id-col %r must be an integer column (got %s); the "
-                    "global-first order is (id, window index)"
+            p.error("--id-col %r must be an integer column (got %s)"
                     % (args.id_col, schema.field(args.id_col).type))
         import ray
         owns = not ray.is_initialized()
@@ -201,14 +215,25 @@ def main(argv=None) -> int:
         DataContext.get_current().enable_progress_bars = False
         try:
             import ray.data
-            from pdfextract_ray.stages.dedup import \
-                remove_duplicate_paragraphs
             ds = ray.data.read_parquet(
                 args.table, columns=[args.id_col, args.text_col])
             if args.id_col != "doc_id" or args.text_col != "text":
                 ds = ds.rename_columns({args.id_col: "doc_id",
                                         args.text_col: "text"})
-            remove_duplicate_paragraphs(ds).write_parquet(args.out)
+            if args.cmd == "dedup-paragraphs":
+                from pdfextract_ray.stages.dedup import \
+                    remove_duplicate_paragraphs
+                out_ds = remove_duplicate_paragraphs(ds)
+            else:
+                from pdfextract_ray.stages.dedup import decontaminate_corpus
+                ev_schema = pads.dataset(args.eval_table).schema
+                if "text" not in ev_schema.names:
+                    p.error("--eval table %s has no text column (has: %s)"
+                            % (args.eval_table, ", ".join(ev_schema.names)))
+                ev = ray.data.read_parquet(args.eval_table,
+                                           columns=["text"])
+                out_ds = decontaminate_corpus(ds, ev)
+            out_ds.write_parquet(args.out)
             print(json.dumps({"out": args.out, "ok": True}))
             return 0
         finally:

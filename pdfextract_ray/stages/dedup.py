@@ -627,16 +627,24 @@ def prefix_pairs_shard(df: pd.DataFrame, t_num: int, t_den: int
 
 # ----------------------------------------------------- decontamination
 
-def eval_shingle_batch(batch: pa.Table, eval_mod: int = 37) -> pa.Table:
+def eval_shingle_batch(batch: pa.Table, eval_mod: int | None = 37
+                       ) -> pa.Table:
     """Pass 1 of the decontamination scan: the DISTINCT word-3-gram
     crc32 shingles of this batch's EVAL rows (doc_id % eval_mod == 0 —
     the deterministic stand-in for a benchmark suite; in production the
-    benchmark side is external, bounded input, never corpus-sized)."""
-    ids = batch["doc_id"].to_pylist()
+    benchmark side is external, bounded input, never corpus-sized —
+    pass ``eval_mod=None`` over a standalone eval table to take EVERY
+    row — the CLI ``decontaminate --eval`` path; only ``text`` is
+    required then (an external benchmark suite has no doc_id)."""
     acc: set[int] = set()
-    for doc_id, text in zip(ids, batch["text"].to_pylist()):
-        if doc_id % eval_mod == 0:
+    if eval_mod is None:
+        for text in batch["text"].to_pylist():
             acc.update(int(v) for v in _shingle_hashes(text or ""))
+    else:
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            if doc_id % eval_mod == 0:
+                acc.update(int(v) for v in _shingle_hashes(text or ""))
     return pa.table({"h32": pa.array(sorted(acc), pa.int64())})
 
 
@@ -645,9 +653,10 @@ class DecontaminateScan:
     shingle set against the broadcast eval-shingle array (``ray.put``
     once, ``ray.get`` once per actor in ``__init__`` — the same
     bounded-small-side pattern as VocabCoverage). Integer outputs only,
-    so the driver's oracle hash has no float-aggregation exposure."""
+    so the driver's oracle hash has no float-aggregation exposure.
+    ``eval_mod=None`` (external eval set) scans every corpus row."""
 
-    def __init__(self, eval_ref, eval_mod: int = 37) -> None:
+    def __init__(self, eval_ref, eval_mod: int | None = 37) -> None:
         import ray
         self.eval_sorted = np.asarray(ray.get(eval_ref), dtype=np.int64)
         self.eval_mod = eval_mod
@@ -658,7 +667,7 @@ class DecontaminateScan:
         n_hit: list[int] = []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
-            if doc_id % self.eval_mod == 0:
+            if self.eval_mod is not None and doc_id % self.eval_mod == 0:
                 continue
             hs = _shingle_hashes(text or "").astype(np.int64)
             hits = np.isin(hs, self.eval_sorted, assume_unique=True)
@@ -864,3 +873,24 @@ def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
         coalesce_for_join(drop_lists), join_type="left_outer",
         on=("doc_id",), num_partitions=join_partitions())
     return joined.map_batches(_rebuild_clean_batch, batch_format="pyarrow")
+
+
+def decontaminate_corpus(docs, eval_ds):
+    """External-eval decontamination (the production interface the
+    registered ``decontaminate`` query stands in for): union the eval
+    table's DISTINCT 3-gram shingles — benchmark-sized input, so the
+    driver-side union is bounded by the EVAL suite, never the corpus —
+    broadcast once, then scan every corpus row. Returns (doc_id,
+    n_shingles, n_contaminated, is_contaminated)."""
+    import functools
+
+    import ray
+
+    ev = eval_ds.map_batches(
+        functools.partial(eval_shingle_batch, eval_mod=None),
+        batch_format="pyarrow").to_pandas()
+    eval_sorted = np.unique(ev["h32"].to_numpy(dtype=np.int64))
+    eval_ref = ray.put(eval_sorted)
+    return docs.map_batches(
+        DecontaminateScan, fn_constructor_args=(eval_ref, None),
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=256)

@@ -162,3 +162,28 @@ def test_cli_dedup_paragraphs_rejects_non_integer_id(tmp_path):
     with pytest.raises(SystemExit):
         main(["dedup-paragraphs", src, "--id-col", "url",
               "--out", str(tmp_path / "o")])
+
+
+def test_cli_decontaminate_external_eval(tmp_path):
+    """decontaminate --eval: a corpus doc copying an eval doc is
+    flagged; an unrelated one is not; eval rows are a separate table
+    so every corpus row is scanned."""
+    import pyarrow as pa
+
+    ev_text = " ".join("e%d" % i for i in range(30))
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [ev_text + " plus a tail", "totally unrelated words here"],
+    })
+    evals = pa.table({"text": [ev_text]})
+    src = str(tmp_path / "corpus.parquet")
+    evp = str(tmp_path / "eval.parquet")
+    pq.write_table(corpus, src)
+    pq.write_table(evals, evp)
+    out = str(tmp_path / "flags")
+    assert main(["decontaminate", src, "--eval", evp, "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t.num_rows == 2                      # EVERY corpus row scanned
+    assert t.column("is_contaminated").to_pylist() == [True, False]
+    assert t.column("n_contaminated")[0].as_py() > 0
