@@ -171,6 +171,60 @@ def main(argv=None) -> int:
     sp_d.add_argument("--text-col", default="text")
     sp_d.add_argument("--num-cpus", type=int, default=None)
 
+    sp_sp = sub.add_parser(
+        "dedup-spans",
+        help="substring-level exact dedup over a (id, text) parquet "
+             "table: SLIDING 16-word windows (stride 1 — catches "
+             "duplicated runs that straddle the non-overlapping "
+             "dedup-paragraphs unit), delete every duplicated span "
+             "except its global first occurrence; writes (doc_id, "
+             "clean_text, n_words, n_removed) parquet")
+    sp_sp.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_sp.add_argument("--out", required=True)
+    sp_sp.add_argument("--id-col", default="doc_id",
+                       help="integer document id column (default doc_id)")
+    sp_sp.add_argument("--text-col", default="text")
+    sp_sp.add_argument("--window", type=int, default=16,
+                       help="words per sliding window (default 16)")
+    sp_sp.add_argument("--stride", type=int, default=1,
+                       help="window stride; >1 is a 1/stride-recall "
+                            "sampled scan (default 1 = exact)")
+    sp_sp.add_argument("--stats-only", action="store_true",
+                       help="write per-doc duplicate-span stats instead "
+                            "of rebuilding cleaned text")
+    sp_sp.add_argument("--num-cpus", type=int, default=None)
+
+    sp_i = sub.add_parser(
+        "dedup-incremental",
+        help="flag a NEW delivery's documents that already exist in an "
+             "OLD corpus via a broadcast Bloom filter (one streaming "
+             "pass per side, no corpus re-shuffle); writes (doc_id, "
+             "md5, bloom_positive, dup_vs_old, first_in_new, keep)")
+    sp_i.add_argument("table", help="NEW delivery parquet file/dir with "
+                                    "an integer id column and a text column")
+    sp_i.add_argument("--against", required=True,
+                      help="EXISTING corpus parquet file/dir (same "
+                           "columns), or a hash snapshot written with "
+                           "--write-hashes (pass --hashes)")
+    sp_i.add_argument("--hashes", action="store_true",
+                      help="--against is a precomputed (doc_id, md5, "
+                           "h64) hash snapshot, not raw documents")
+    sp_i.add_argument("--write-hashes",
+                      help="also write the OLD side's hash snapshot "
+                           "here for reuse by the next delivery")
+    sp_i.add_argument("--fp-rate", type=float, default=0.01,
+                      help="Bloom false-positive target (default 0.01)")
+    sp_i.add_argument("--no-verify", action="store_true",
+                      help="skip the exact verify pass: dup_vs_old "
+                           "becomes the raw Bloom verdict (over-flags "
+                           "at the FP rate, never under-flags)")
+    sp_i.add_argument("--out", required=True)
+    sp_i.add_argument("--id-col", default="doc_id",
+                      help="integer document id column (default doc_id)")
+    sp_i.add_argument("--text-col", default="text")
+    sp_i.add_argument("--num-cpus", type=int, default=None)
+
     sp_q = sub.add_parser(
         "query", help="run a registered corpus query by name over a "
                       "table directory (see `query --list`)")
@@ -195,7 +249,8 @@ def main(argv=None) -> int:
             print("%-22s %s" % (f.name, f.default))
         return 0
 
-    if args.cmd in ("dedup-paragraphs", "decontaminate"):
+    if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
+                    "dedup-incremental"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -224,6 +279,39 @@ def main(argv=None) -> int:
                 from pdfextract_ray.stages.dedup import \
                     remove_duplicate_paragraphs
                 out_ds = remove_duplicate_paragraphs(ds)
+            elif args.cmd == "dedup-spans":
+                from pdfextract_ray.stages.spans import (
+                    duplicate_span_stats, remove_duplicate_spans)
+                fn = duplicate_span_stats if args.stats_only \
+                    else remove_duplicate_spans
+                out_ds = fn(ds, window=args.window, stride=args.stride)
+            elif args.cmd == "dedup-incremental":
+                from pdfextract_ray.stages import bloom
+                if args.hashes:
+                    old_hashes = ray.data.read_parquet(
+                        args.against, columns=["md5", "h64"])
+                    old_docs = None
+                else:
+                    against_schema = pads.dataset(args.against).schema
+                    for col in (args.id_col, args.text_col):
+                        if col not in against_schema.names:
+                            p.error("column %r not in --against %s "
+                                    "(has: %s)" % (col, args.against,
+                                    ", ".join(against_schema.names)))
+                    old_docs = ray.data.read_parquet(
+                        args.against, columns=[args.id_col, args.text_col])
+                    if args.id_col != "doc_id" or args.text_col != "text":
+                        old_docs = old_docs.rename_columns(
+                            {args.id_col: "doc_id", args.text_col: "text"})
+                    old_hashes = None
+                if args.write_hashes:
+                    if old_hashes is None:
+                        old_hashes = bloom.hash_docs(old_docs).materialize()
+                        old_docs = None
+                    old_hashes.write_parquet(args.write_hashes)
+                out_ds = bloom.dedup_incremental(
+                    ds, old_docs=old_docs, old_hashes=old_hashes,
+                    fp_rate=args.fp_rate, verify=not args.no_verify)
             else:
                 from pdfextract_ray.stages.dedup import decontaminate_corpus
                 ev_schema = pads.dataset(args.eval_table).schema

@@ -187,3 +187,69 @@ def test_cli_decontaminate_external_eval(tmp_path):
     assert t.num_rows == 2                      # EVERY corpus row scanned
     assert t.column("is_contaminated").to_pylist() == [True, False]
     assert t.column("n_contaminated")[0].as_py() > 0
+
+
+def test_cli_dedup_spans(ray_session, tmp_path):
+    """dedup-spans: a 20-word run copied at a paragraph-boundary-
+    straddling offset is cut from the second doc but kept in the
+    first; --stats-only writes detection rows instead."""
+    import pyarrow as pa
+
+    run = " ".join("d%d" % i for i in range(20))
+    filler = " ".join("f%d" % i for i in range(9))
+    other = " ".join("g%d" % i for i in range(11))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [filler + " " + run, other + " " + run + " coda",
+                 "independent text body here"],
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "clean")
+    assert main(["dedup-spans", src, "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t.column("n_removed").to_pylist() == [0, 20, 0]
+    assert t.column("clean_text")[1].as_py() == other + " coda"
+
+    stats_out = str(tmp_path / "stats")
+    assert main(["dedup-spans", src, "--stats-only",
+                 "--out", stats_out]) == 0
+    s = pq.read_table(glob.glob(os.path.join(stats_out, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert s.column("doc_id").to_pylist() == [1, 2]
+    assert all(v >= 20 for v in s.column("dup_words").to_pylist())
+
+
+def test_cli_dedup_incremental_with_snapshot_reuse(ray_session, tmp_path):
+    """dedup-incremental: new-vs-old flags, hash-snapshot write on the
+    first delivery and --hashes reuse on the second."""
+    import pyarrow as pa
+
+    old = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["corpus doc one", "corpus doc two", "corpus doc three"],
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": ["corpus doc two", "fresh doc alpha", "fresh doc alpha"],
+    })
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(old, old_p)
+    pq.write_table(new, new_p)
+    out1 = str(tmp_path / "delivery1")
+    snap = str(tmp_path / "old_hashes")
+    assert main(["dedup-incremental", new_p, "--against", old_p,
+                 "--write-hashes", snap, "--out", out1]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out1, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t.column("dup_vs_old").to_pylist() == [True, False, False]
+    assert t.column("keep").to_pylist() == [False, True, False]
+
+    out2 = str(tmp_path / "delivery2")
+    assert main(["dedup-incremental", new_p, "--against", snap,
+                 "--hashes", "--out", out2]) == 0
+    t2 = pq.read_table(glob.glob(os.path.join(out2, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t2.column("keep").to_pylist() == t.column("keep").to_pylist()
