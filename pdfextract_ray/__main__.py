@@ -225,6 +225,24 @@ def main(argv=None) -> int:
     sp_i.add_argument("--text-col", default="text")
     sp_i.add_argument("--num-cpus", type=int, default=None)
 
+    sp_u = sub.add_parser(
+        "dedup-urls",
+        help="URL-keyed exact dedup over a (id, url) parquet table: "
+             "canonicalize (case/port/fragment/tracking-param/www/"
+             "trailing-slash normalization) and keep the min id per "
+             "canonical URL; writes (id, url, canonical_url, keep)")
+    sp_u.add_argument("table", help="parquet file/dir with an integer "
+                                    "id column and a url column")
+    sp_u.add_argument("--out", required=True)
+    sp_u.add_argument("--id-col", default="doc_id",
+                      help="integer document id column (default doc_id)")
+    sp_u.add_argument("--url-col", default="url")
+    sp_u.add_argument("--keep-tracking", action="store_true",
+                      help="do not strip utm_*/click-id query params")
+    sp_u.add_argument("--keep-www", action="store_true",
+                      help="do not strip a leading www. host label")
+    sp_u.add_argument("--num-cpus", type=int, default=None)
+
     sp_q = sub.add_parser(
         "query", help="run a registered corpus query by name over a "
                       "table directory (see `query --list`)")
@@ -248,6 +266,40 @@ def main(argv=None) -> int:
         for f in dataclasses.fields(DEFAULT_SETTINGS):
             print("%-22s %s" % (f.name, f.default))
         return 0
+
+    if args.cmd == "dedup-urls":
+        import pyarrow.dataset as pads
+        schema = pads.dataset(args.table).schema
+        for col in (args.id_col, args.url_col):
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        import pyarrow as pa
+        if not pa.types.is_integer(schema.field(args.id_col).type):
+            p.error("--id-col %r must be an integer column (got %s)"
+                    % (args.id_col, schema.field(args.id_col).type))
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            from pdfextract_ray.stages.urls import url_dedup
+            ds = ray.data.read_parquet(
+                args.table, columns=[args.id_col, args.url_col])
+            out_ds = url_dedup(ds, id_col=args.id_col,
+                               url_col=args.url_col,
+                               strip_tracking=not args.keep_tracking,
+                               strip_www=not args.keep_www)
+            out_ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
                     "dedup-incremental"):

@@ -1,0 +1,95 @@
+"""URL canonicalization + URL-keyed dedup (stages/urls.py)."""
+
+import pyarrow as pa
+import ray.data
+
+from pdfextract_ray.stages.urls import (canonical_url, canonicalize_batch,
+                                        url_dedup)
+
+
+def test_canonical_url_normalizations():
+    assert canonical_url("HTTP://WWW.Example.COM:80/A/b/") \
+        == "http://example.com/A/b"
+    assert canonical_url("https://example.com:443/x") \
+        == "https://example.com/x"
+    assert canonical_url("https://example.com:8443/x") \
+        == "https://example.com:8443/x"          # non-default port kept
+    assert canonical_url("http://example.com") == "http://example.com/"
+    assert canonical_url("http://example.com/a#frag") \
+        == "http://example.com/a"
+    # path case is preserved (paths are case-sensitive), host is not
+    assert canonical_url("http://EXAMPLE.com/CaseSensitive") \
+        == "http://example.com/CaseSensitive"
+
+
+def test_canonical_url_query_handling():
+    assert canonical_url("http://e.com/p?b=2&a=1") == "http://e.com/p?a=1&b=2"
+    assert canonical_url(
+        "http://e.com/p?utm_source=tw&id=5&fbclid=xyz&UTM_campaign=c") \
+        == "http://e.com/p?id=5"
+    # blank values survive; non-tracking order-only differences collapse
+    assert canonical_url("http://e.com/p?a=&z=1") \
+        == canonical_url("http://e.com/p?z=1&a=")
+
+
+def test_canonical_url_edge_cases_total_and_idempotent():
+    cases = ["", "   ", "not a url", "relative/path?x=1",
+             "http://user:pw@Host.com:80/a/",
+             "http://www.co/x",        # www.<tld> — too short to strip
+             "https://sub.www.example.com/x",   # www not a prefix label
+             "http://e.com/a//b/", "ftp://E.com:21/f",
+             "http://[::1]:8080/x", "http://e.com/%7Euser/"]
+    for u in cases:
+        c = canonical_url(u)
+        assert isinstance(c, str)
+        assert canonical_url(c) == c, u        # idempotent
+    assert canonical_url("not a url") == "not a url"
+    assert canonical_url("http://www.co/x") == "http://www.co/x"
+    assert canonical_url("http://user:pw@Host.com:80/a/") \
+        == "http://user:pw@host.com/a"
+
+
+def test_canonicalize_batch_appends_column():
+    t = pa.table({"url": ["http://A.com/", "bad url"]})
+    out = canonicalize_batch(t)
+    assert out["canonical_url"].to_pylist() == ["http://a.com/", "bad url"]
+
+
+def test_url_dedup_keeps_min_id_per_canonical_key(ray_session):
+    rows = [
+        (1, "http://www.example.com/article?utm_source=a"),
+        (2, "HTTP://example.com:80/article"),          # same page as 1
+        (3, "http://example.com/article?page=2"),      # different page
+        (4, "http://other.org/x/"),
+        (5, "http://other.org/x"),                     # same as 4
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string())}))
+    out = url_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out.keep.tolist() == [True, False, True, True, False]
+    # canonical keys actually collide where expected
+    assert out.canonical_url.iloc[0] == out.canonical_url.iloc[1]
+    assert out.canonical_url.iloc[3] == out.canonical_url.iloc[4]
+
+
+def test_cli_dedup_urls(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdfextract_ray.__main__ import main
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "url": ["http://www.site.com/p?utm_source=x",
+                "http://site.com/p", "http://site.com/q"],
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "keys")
+    assert main(["dedup-urls", src, "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t.column("keep").to_pylist() == [True, False, True]
