@@ -139,6 +139,11 @@ def main(argv=None) -> int:
     sp_c.add_argument("--exact-only", action="store_true",
                       help="exact text dedup only (skip MinHash-LSH "
                            "near-dup clustering)")
+    sp_c.add_argument("--url-dedup", action="store_true",
+                      help="first drop same-canonical-URL duplicate "
+                           "pages (case/port/fragment/tracking-param "
+                           "normalization), before extraction — pages "
+                           "removed here are never parsed")
 
     sub.add_parser("settings", help="list tunables")
 
@@ -522,9 +527,15 @@ def main(argv=None) -> int:
                     if found:
                         paths = found
                 cds = ray.data.read_parquet(paths, columns=cols)
+                if args.url_dedup:
+                    from pdfextract_ray.stages.urls import url_dedup_filter
+                    cds = url_dedup_filter(cds)
             else:
                 from pdfextract_ray.pipelines.extract_pipeline import \
                     extract_dataset
+                if args.url_dedup:
+                    from pdfextract_ray.stages.urls import url_dedup_filter
+                    ds = url_dedup_filter(ds)
                 cds = extract_dataset(ds, settings=settings,
                                       with_spans=False).select_columns(cols)
             curate = curate_exact if args.exact_only else curate_neardup

@@ -155,6 +155,8 @@ def build_bloom(hashes_ds, n_items: int | None = None,
     m_bits, k = bloom_params(n_items, fp_rate)
     out = hashes_ds.aggregate(bloom_aggregate(m_bits, k))
     bitmap = out["bloom"] if isinstance(out, dict) else out
+    if bitmap is None:  # empty old corpus: aggregate yields nothing
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
     return np.asarray(bitmap, dtype=np.uint8), m_bits, k
 
 
@@ -232,7 +234,10 @@ def dedup_incremental(new_docs, old_docs=None, old_hashes=None,
     # back as a set of (md5 → min id) — bounded by the delivery size
     firsts = scanned.groupby("md5") \
         .aggregate(Min("doc_id", alias_name="first_id")).to_pandas()
-    first_of = ray.put(dict(zip(firsts["md5"], firsts["first_id"])))
+    # empty-delivery guard: Ray 2.49's to_pandas drops the columns of
+    # an all-empty dataset (same trap as the positives collect below)
+    first_of = ray.put(dict(zip(firsts["md5"], firsts["first_id"]))
+                       if "md5" in firsts.columns else {})
 
     if verify:
         def positives_batch(t: pa.Table) -> pa.Table:

@@ -135,3 +135,82 @@ def url_dedup(docs, id_col: str = "doc_id", url_col: str = "url",
     return docs.select_columns([id_col, url_col]) \
         .map_batches(canon_shard, batch_format="pyarrow") \
         .groupby("shard").map_groups(keep_shard, batch_format="pandas")
+
+
+def url_drop_list(docs, url_col: str = "url",
+                  shard_mask: int | None = None, **kw):
+    """(url,) rows of the DROP minority: every url that is NOT the
+    lexicographic-min original url of its canonical key. Only
+    (canonical_url, url, shard) strings+ints move — never page
+    content — and the output is as small as the URL-duplication
+    rate."""
+    import functools
+    import zlib
+
+    import pandas as pd
+
+    from pdfextract_ray.stages.dedup import _mask
+
+    mask = _mask(shard_mask)
+
+    def canon_shard(t: pa.Table) -> pa.Table:
+        urls = t[url_col].to_pylist()
+        canon = [canonical_url(u, **kw) for u in urls]
+        return pa.table({
+            url_col: pa.array(urls, pa.string()),
+            "canonical_url": pa.array(canon, pa.string()),
+            "shard": pa.array([zlib.crc32(c.encode("utf-8")) & mask
+                               for c in canon], pa.int64()),
+        })
+
+    def drops_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({url_col: pd.Series(dtype="object")})
+        keep = df[url_col] == df.groupby("canonical_url")[url_col] \
+            .transform("min")
+        return df.loc[~keep.to_numpy(), [url_col]]
+
+    return docs.select_columns([url_col]) \
+        .map_batches(canon_shard, batch_format="pyarrow") \
+        .groupby("shard").map_groups(drops_shard, batch_format="pandas")
+
+
+def url_dedup_filter(docs, url_col: str = "url",
+                     max_broadcast: int = 2_000_000,
+                     shard_mask: int | None = None, **kw):
+    """Remove same-canonical-URL duplicate rows from ``docs`` (keeping
+    the lexicographic-min original url per key) WITHOUT ever shuffling
+    the row payload when the duplicate rate is sane: the drop list —
+    the duplicate minority — is broadcast as a ``pc.is_in`` filter
+    when it fits ``max_broadcast`` urls, and only beyond that does the
+    payload pay a distributed ``left_anti`` join. The pre-extraction
+    stage of a curation pipeline: every page this removes is HTML the
+    extractor never parses."""
+    import ray
+    import pyarrow.compute as pc
+
+    drops = url_drop_list(docs, url_col=url_col,
+                          shard_mask=shard_mask, **kw).materialize()
+    n = drops.count()
+    if n == 0:
+        return docs
+    if n <= max_broadcast:
+        dropped = drops.to_pandas()
+        drop_ref = ray.put(pa.array(
+            sorted(dropped[url_col]) if url_col in dropped.columns
+            else [], pa.string()))
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(
+                pc.is_in(t[url_col], value_set=ray.get(drop_ref))))
+
+        return docs.map_batches(keep_batch, batch_format="pyarrow")
+    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
+                                                     join_partitions)
+    # only the DERIVED drop side needs the empty-block coalesce; the
+    # payload side is left untouched (coalescing it would materialize
+    # the whole corpus — callers pass a scanner-backed Dataset whose
+    # blocks always carry a schema)
+    return docs.join(
+        coalesce_for_join(drops), join_type="left_anti",
+        on=(url_col,), num_partitions=join_partitions())

@@ -116,3 +116,18 @@ def test_observed_fp_rate_bounded(ray_session):
     assert res.bloom_positive.sum() <= 100   # ~20 expected at 1%
     assert not res.dup_vs_old.any()          # verify clears every FP
     assert res.keep.all()
+
+
+def test_empty_sides_are_safe(ray_session):
+    """Empty OLD corpus (first-ever delivery) and empty NEW delivery
+    both work — Ray 2.49 drops schema/columns on all-empty datasets in
+    several places, each guarded."""
+    empty = ray.data.from_arrow(_table([]))
+    new = ray.data.from_arrow(_table([(1, "first ever doc")]))
+    res = B.dedup_incremental(new, old_docs=empty).to_pandas()
+    assert res.keep.tolist() == [True]
+    assert not res.dup_vs_old.any()
+
+    old = ray.data.from_arrow(_table([(1, "existing doc")]))
+    res2 = B.dedup_incremental(empty, old_docs=old).to_pandas()
+    assert len(res2) == 0

@@ -93,3 +93,33 @@ def test_cli_dedup_urls(ray_session, tmp_path):
     t = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))) \
         .sort_by("doc_id")
     assert t.column("keep").to_pylist() == [True, False, True]
+
+
+def test_url_dedup_filter_broadcast_and_antijoin_paths(ray_session):
+    """Both drop-removal paths (broadcast pc.is_in and the left_anti
+    fallback, forced via max_broadcast=0) keep the same rows: the
+    lexicographic-min url per canonical key, payload intact."""
+    t = pa.table({
+        "url": ["http://a.com/x", "http://A.com/x/",
+                "http://a.com/y", "http://www.a.com/x?utm_source=s"],
+        "html": ["<p>1</p>", "<p>2</p>", "<p>3</p>", "<p>4</p>"],
+    })
+    docs = ray.data.from_arrow(t)
+    from pdfextract_ray.stages.urls import url_dedup_filter
+    kept_b = url_dedup_filter(docs).to_pandas().sort_values("url")
+    kept_j = url_dedup_filter(docs, max_broadcast=0).to_pandas() \
+        .sort_values("url")
+    # canonical key http://a.com/x has three variants; min original
+    # url "http://A.com/x/" survives (uppercase < lowercase in ASCII)
+    assert kept_b.url.tolist() == ["http://A.com/x/", "http://a.com/y"]
+    assert kept_b.url.tolist() == kept_j.url.tolist()
+    assert kept_b.html.tolist() == kept_j.html.tolist()
+
+
+def test_url_dedup_filter_no_dups_is_identity(ray_session):
+    t = pa.table({"url": ["http://a.com/1", "http://a.com/2"],
+                  "html": ["x", "y"]})
+    docs = ray.data.from_arrow(t)
+    from pdfextract_ray.stages.urls import url_dedup_filter
+    out = url_dedup_filter(docs).to_pandas()
+    assert len(out) == 2
