@@ -248,6 +248,37 @@ def main(argv=None) -> int:
                       help="do not strip a leading www. host label")
     sp_u.add_argument("--num-cpus", type=int, default=None)
 
+    sp_m = sub.add_parser(
+        "sample-mixture",
+        help="sample a corpus to a target source mixture with maximum "
+             "retention (deterministic per id); writes the input "
+             "columns + keep")
+    sp_m.add_argument("table", help="parquet file/dir with integer id "
+                                    "and source columns")
+    sp_m.add_argument("--target", action="append", required=True,
+                      metavar="SOURCE=WEIGHT",
+                      help="e.g. --target web=3 --target books=1 "
+                           "(weights are normalized; sources without "
+                           "a target are excluded)")
+    sp_m.add_argument("--out", required=True)
+    sp_m.add_argument("--id-col", default="doc_id")
+    sp_m.add_argument("--source-col", default="source")
+    sp_m.add_argument("--num-cpus", type=int, default=None)
+
+    sp_pk = sub.add_parser(
+        "pack",
+        help="greedy-pack documents into ~budget-token training "
+             "groups; writes (doc_id, n_tokens, pack_id, pack_tokens, "
+             "oversized)")
+    sp_pk.add_argument("table", help="parquet file/dir with integer id "
+                                     "and token-count columns")
+    sp_pk.add_argument("--budget", type=int, required=True,
+                       help="tokens per pack")
+    sp_pk.add_argument("--out", required=True)
+    sp_pk.add_argument("--id-col", default="doc_id")
+    sp_pk.add_argument("--tokens-col", default="n_tokens")
+    sp_pk.add_argument("--num-cpus", type=int, default=None)
+
     sp_q = sub.add_parser(
         "query", help="run a registered corpus query by name over a "
                       "table directory (see `query --list`)")
@@ -271,6 +302,52 @@ def main(argv=None) -> int:
         for f in dataclasses.fields(DEFAULT_SETTINGS):
             print("%-22s %s" % (f.name, f.default))
         return 0
+
+    if args.cmd in ("sample-mixture", "pack"):
+        import pyarrow.dataset as pads
+        schema = pads.dataset(args.table).schema
+        other = args.source_col if args.cmd == "sample-mixture" \
+            else args.tokens_col
+        for col in (args.id_col, other):
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        targets = {}
+        if args.cmd == "sample-mixture":
+            for spec in args.target:
+                if "=" not in spec:
+                    p.error("--target needs SOURCE=WEIGHT, got %r" % spec)
+                k, v = spec.split("=", 1)
+                try:
+                    targets[k] = float(v)
+                except ValueError:
+                    p.error("--target weight %r is not a number" % v)
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            ds = ray.data.read_parquet(
+                args.table, columns=[args.id_col, other])
+            if args.cmd == "sample-mixture":
+                from pdfextract_ray.stages.assemble import mixture_sample
+                out_ds = mixture_sample(ds, targets, id_col=args.id_col,
+                                        source_col=args.source_col)
+            else:
+                from pdfextract_ray.stages.assemble import pack_documents
+                out_ds = pack_documents(ds, args.budget,
+                                        id_col=args.id_col,
+                                        tokens_col=args.tokens_col)
+            out_ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     if args.cmd == "dedup-urls":
         import pyarrow.dataset as pads

@@ -1,0 +1,155 @@
+"""Training-set assembly operators: mixture sampling + token packing.
+
+After curation (dedup, quality, decontamination) a training corpus
+still needs ASSEMBLY — decide how much of each source to take, and
+group documents into fixed-token-budget shards for the trainer:
+
+- :func:`mixture_sample` — hit a target source-mixture (e.g. web 60%,
+  books 25%, code 15%) with maximum data retention: one tiny count
+  groupby, a driver-side rate computation over |sources| rows (a
+  handful — never corpus-sized), then a stateless deterministic
+  per-row keep decision. No corpus shuffle.
+- :func:`pack_documents` — greedy first-fit packing of documents into
+  ~``budget`` token groups, batch-local so it streams: each
+  map_batches task packs its own batch and emits globally-unique pack
+  ids without coordination (a pack's id is the min doc_id inside it —
+  unique because docs are). Packing quality is bounded by batch size
+  (at most one underfull pack per batch) — the standard trade of
+  distributed bin packing; the trainer's sequence packing only needs
+  approximate budget fill, not optimality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# Knuth multiplicative hash on 64-bit ids → uniform [0, 2^32); the
+# same deterministic-sampling primitive stratified_sample uses.
+_KNUTH = np.uint64(2654435761)
+
+
+def _id_unit(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uniform [0,1) per id."""
+    h = (ids.astype(np.uint64) * _KNUTH) & np.uint64(0xFFFFFFFF)
+    return h.astype(np.float64) / float(1 << 32)
+
+
+def mixture_rates(counts: dict[str, int],
+                  targets: dict[str, float]) -> dict[str, float]:
+    """Per-source keep rates achieving ``targets`` proportions with
+    maximum retention: scale the total sample T up until the binding
+    source is fully used (T = min over s of n_s / p_s), then
+    rate_s = T * p_s / n_s ≤ 1. Sources absent from ``targets`` get
+    rate 0 (explicitly excluded); target weights are normalized, so
+    {web: 3, code: 1} means 75/25."""
+    total_w = sum(w for s, w in targets.items() if counts.get(s, 0) > 0)
+    if total_w <= 0:
+        return {s: 0.0 for s in counts}
+    p = {s: w / total_w for s, w in targets.items()}
+    t_max = min(counts[s] / p[s] for s in p
+                if counts.get(s, 0) > 0 and p[s] > 0)
+    return {s: (t_max * p[s] / counts[s] if counts.get(s, 0) > 0
+                and s in p and p[s] > 0 else 0.0)
+            for s in counts}
+
+
+def mixture_sample(docs, targets: dict[str, float],
+                   id_col: str = "doc_id", source_col: str = "source"):
+    """Sample ``docs`` to the target source mixture. Returns the
+    input columns + ``keep`` (deterministic per id — reruns and
+    resumes agree). Pass 1 is a count-per-source groupby whose output
+    is |sources| rows on the driver (a true dimension, like the
+    nation table — NOT corpus-derived data in the forbidden sense);
+    pass 2 is a stateless vectorized filter flag."""
+    import ray
+
+    counts_df = docs.groupby(source_col).count().to_pandas()
+    if source_col not in counts_df.columns:   # empty corpus
+        counts = {}
+    else:
+        counts = dict(zip(counts_df[source_col],
+                          counts_df["count()"].astype(int)))
+    rates = mixture_rates(counts, targets)
+    rates_ref = ray.put(rates)
+
+    def flag(t: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = t[source_col].to_pylist()
+        thresh = np.array([r.get(s, 0.0) for s in srcs], np.float64)
+        keep = _id_unit(ids) < thresh
+        return t.append_column("keep", pa.array(keep, pa.bool_()))
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def pack_batch(t: pa.Table, budget: int, id_col: str = "doc_id",
+               tokens_col: str = "n_tokens") -> pa.Table:
+    """Greedy first-fit-decreasing packing of ONE batch: sort the
+    batch's docs by token count descending, drop each into the first
+    open pack with room, close packs at ``budget``. A single doc over
+    budget becomes its own pack, flagged ``oversized`` (the trainer
+    truncates or splits those). Emits (doc_id, n_tokens, pack_id,
+    pack_tokens, oversized); pack_id = min doc_id in the pack."""
+    n = len(t)
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "pack_id": pa.array([], pa.int64()),
+            "pack_tokens": pa.array([], pa.int64()),
+            "oversized": pa.array([], pa.bool_()),
+        })
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = t[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(-toks, kind="stable")
+    packs: list[list[int]] = []       # member row indices
+    loads: list[int] = []
+    for i in order:
+        tk = int(toks[i])
+        if tk >= budget:
+            packs.append([int(i)])
+            loads.append(tk)
+            continue
+        for j in range(len(packs)):
+            if loads[j] + tk <= budget:
+                packs[j].append(int(i))
+                loads[j] += tk
+                break
+        else:
+            packs.append([int(i)])
+            loads.append(tk)
+    pack_id = np.empty(n, np.int64)
+    pack_tok = np.empty(n, np.int64)
+    oversized = np.zeros(n, bool)
+    for members, load in zip(packs, loads):
+        pid = int(min(ids[m] for m in members))
+        for m in members:
+            pack_id[m] = pid
+            pack_tok[m] = load
+            oversized[m] = len(members) == 1 and load >= budget
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(toks, pa.int64()),
+        "pack_id": pa.array(pack_id, pa.int64()),
+        "pack_tokens": pa.array(pack_tok, pa.int64()),
+        "oversized": pa.array(oversized, pa.bool_()),
+    })
+
+
+def pack_documents(docs, budget: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   batch_size: int = 4096):
+    """Assign every doc to a ~``budget``-token pack (see
+    :func:`pack_batch`). Batch-local and coordination-free: with B
+    docs per batch averaging w tokens, waste is at most one open pack
+    per (batch × distinct fill level), so choose ``batch_size`` ≫
+    budget / median-doc-tokens (the default 4096 covers budgets into
+    the millions of tokens at web-scale doc lengths)."""
+    import functools
+
+    return docs.select_columns([id_col, tokens_col]).map_batches(
+        functools.partial(pack_batch, budget=budget, id_col=id_col,
+                          tokens_col=tokens_col),
+        batch_size=batch_size, batch_format="pyarrow")
