@@ -45,27 +45,44 @@ def canonical_url(url: str, *, strip_www: bool = True,
         return ""
     try:
         parts = urlsplit(u)
+        if not parts.scheme and not parts.netloc:
+            return u  # not an absolute URL; leave relative keys alone
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        # .port is LAZY and raises on garbage authorities urlsplit
+        # itself accepted (e.g. "http://::") — hence the wide try
+        port = parts.port
     except ValueError:
         return u
-    if not parts.scheme and not parts.netloc:
-        return u  # not an absolute URL; leave relative keys alone
-    scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
     if strip_www and host.startswith("www.") and host.count(".") >= 2:
         host = host[4:]
     if ":" in host:  # urlsplit strips the brackets off IPv6 literals
         host = "[%s]" % host
     netloc = host
-    if parts.port is not None and \
-            str(parts.port) != _DEFAULT_PORTS.get(scheme):
-        netloc = "%s:%d" % (host, parts.port)
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = "%s:%d" % (host, port)
     if parts.username:  # userinfo is load-bearing when present
         cred = parts.username + \
             (":" + parts.password if parts.password else "")
         netloc = cred + "@" + netloc
-    path = parts.path or "/"
-    if strip_trailing_slash and len(path) > 1 and path.endswith("/"):
-        path = path.rstrip("/") or "/"
+    path = parts.path
+    if netloc and not path:
+        path = "/"   # RFC 3986 §6.2.3: empty path ≡ "/" only WITH an
+        # authority; "mailto:" must not become "mailto:/"
+    if strip_trailing_slash:
+        # fixpoint: trailing slashes and trailing whitespace interleave
+        # ("/a/ /" → "/a/ " → "/a/" → "/a"), and a non-fixpoint result
+        # breaks idempotence because the next pass's outer .strip()
+        # sees the dangling whitespace first (hypothesis-found)
+        prev = None
+        while path != prev:
+            prev = path
+            if len(path) > 1 and path.endswith("/"):
+                path = path.rstrip("/") or "/"
+            if path != "/":
+                path = path.rstrip()
+        if netloc and not path:
+            path = "/"
     query = parts.query
     if query and (strip_tracking or sort_query):
         pairs = parse_qsl(query, keep_blank_values=True)

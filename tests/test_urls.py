@@ -123,3 +123,29 @@ def test_url_dedup_filter_no_dups_is_identity(ray_session):
     from pdfextract_ray.stages.urls import url_dedup_filter
     out = url_dedup_filter(docs).to_pandas()
     assert len(out) == 2
+
+
+def test_canonical_url_fuzz_total_idempotent():
+    """Property: canonical_url never raises and is idempotent on
+    arbitrary URL-shaped garbage (the dedup key must be total — a
+    crawler's url field contains anything)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.text(
+        alphabet="abcXYZ019.:/?#[]@!$&'()*+,;=%~ \té中-_",
+        max_size=12)
+    urlish = st.builds(
+        lambda scheme, host, rest: scheme + host + rest,
+        st.sampled_from(["", "http://", "HTTPS://", "ftp://", "//",
+                         "mailto:", "http:", "https://user:pw@"]),
+        frag, frag)
+
+    @settings(max_examples=300, deadline=None)
+    @given(urlish)
+    def prop(u):
+        c = canonical_url(u)
+        assert isinstance(c, str)
+        assert canonical_url(c) == c
+
+    prop()
