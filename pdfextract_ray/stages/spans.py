@@ -48,21 +48,49 @@ from pdfextract_ray.stages.textstats import ascii_words
 
 SPAN_WINDOW = 16
 
+# polynomial base for the 64-bit window hash (odd → invertible mod
+# 2^64, good positional mixing); 64 bits matter here: a 32-bit window
+# hash birthday-collides in the hundreds at 10^6 windows and in the
+# millions at web scale, each collision a FALSE duplicate span —
+# unlike paragraph_dedup, whose crc32 is pinned by its SQL oracle,
+# this module is free to pick the right width
+_POLY_B = np.uint64(1099511628211)
 
-def span_window_hashes(text: str, window: int = SPAN_WINDOW,
-                       stride: int = 1) -> list[tuple[int, int]]:
-    """(word_offset, crc32) of every ``window``-word sliding window of
-    the lowercased ASCII-tokenized text; a doc shorter than ``window``
-    emits its whole text as one window (mirrors paragraph_hashes's
-    remainder rule so short exact-dup docs are still caught)."""
+
+def _window_hash_arrays(text: str, window: int, stride: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(widx, h64) arrays of every ``window``-word sliding window of
+    the lowercased ASCII-tokenized text: h = Σ crc32(word_j)·B^(W−1−j)
+    (uint64 wraparound), vectorized — one crc32 per WORD, not one
+    string join per window. A doc shorter than ``window`` emits its
+    whole text as one window (mirrors paragraph_hashes's remainder
+    rule so short exact-dup docs are still caught)."""
     words = ascii_words((text or "").lower())
     n = len(words)
     if n == 0:
-        return []
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    c = np.fromiter((zlib.crc32(w.encode("utf-8")) for w in words),
+                    dtype=np.uint64, count=n)
+    w = min(window, n)
+    # modular pow in Python ints: identical to uint64 wraparound but
+    # without numpy's per-worker RuntimeWarning on scalar overflow
+    powers = np.array([pow(int(_POLY_B), e, 1 << 64)
+                       for e in range(w - 1, -1, -1)], np.uint64)
     if n < window:
-        return [(0, zlib.crc32(" ".join(words).encode("utf-8")))]
-    return [(i, zlib.crc32(" ".join(words[i:i + window]).encode("utf-8")))
-            for i in range(0, n - window + 1, stride)]
+        return (np.zeros(1, np.int64),
+                np.array([(c * powers).sum()], np.uint64))
+    sw = np.lib.stride_tricks.sliding_window_view(c, window)[::stride]
+    h = (sw * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    idx = np.arange(0, n - window + 1, stride, dtype=np.int64)
+    return idx, h
+
+
+def span_window_hashes(text: str, window: int = SPAN_WINDOW,
+                       stride: int = 1) -> list[tuple[int, int]]:
+    """(word_offset, h64) list view of :func:`_window_hash_arrays`
+    (the tests' brute-force mirror builds on this)."""
+    idx, h = _window_hash_arrays(text, window, stride)
+    return list(zip(idx.tolist(), h.tolist()))
 
 
 def span_explode_batch(batch: pa.Table, window: int = SPAN_WINDOW,
@@ -71,40 +99,44 @@ def span_explode_batch(batch: pa.Table, window: int = SPAN_WINDOW,
     """One int row per (doc, window occurrence), sharded by hash so a
     shard group sees EVERY occurrence of its hashes."""
     shard_mask = _mask(shard_mask)
-    ids_out: list[int] = []
-    w_out: list[int] = []
-    h_out: list[int] = []
+    ids_parts: list[np.ndarray] = []
+    w_parts: list[np.ndarray] = []
+    h_parts: list[np.ndarray] = []
     for doc_id, text in zip(batch["doc_id"].to_pylist(),
                             batch["text"].to_pylist()):
-        for widx, h in span_window_hashes(text, window, stride):
-            ids_out.append(doc_id)
-            w_out.append(widx)
-            h_out.append(h)
+        idx, h = _window_hash_arrays(text, window, stride)
+        ids_parts.append(np.full(len(idx), doc_id, np.int64))
+        w_parts.append(idx)
+        h_parts.append(h)
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    ws = np.concatenate(w_parts) if w_parts else np.empty(0, np.int64)
+    hs = np.concatenate(h_parts) if h_parts else np.empty(0, np.uint64)
     return pa.table({
-        "doc_id": pa.array(ids_out, pa.int64()),
-        "widx": pa.array(w_out, pa.int64()),
-        "h32": pa.array(h_out, pa.int64()),
-        "shard": pa.array([h & shard_mask for h in h_out], pa.int64()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "widx": pa.array(ws, pa.int64()),
+        "h64": pa.array(hs.view(np.int64), pa.int64()),
+        "shard": pa.array(
+            (hs & np.uint64(shard_mask)).view(np.int64), pa.int64()),
     })
 
 
 def dup_occurrences_shard(df: pd.DataFrame) -> pd.DataFrame:
     """One hash-shard group: emit only DUPLICATED occurrences (hash
-    count ≥ 2 — complete within the group because shard = h32 & mask),
+    count ≥ 2 — complete within the group because shard = h64 & mask),
     each flagged ``keep`` for the global first (min (doc_id, widx)) of
     its hash. Output is the duplicate minority, ints only."""
     if len(df) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "widx": pd.Series(dtype="int64"),
                              "keep": pd.Series(dtype="int64")})
-    d = df.sort_values(["h32", "doc_id", "widx"], kind="stable")
-    sizes = d.groupby("h32")["h32"].transform("size")
+    d = df.sort_values(["h64", "doc_id", "widx"], kind="stable")
+    sizes = d.groupby("h64")["h64"].transform("size")
     d = d.loc[sizes.to_numpy() > 1]
     if len(d) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "widx": pd.Series(dtype="int64"),
                              "keep": pd.Series(dtype="int64")})
-    keep = (~d["h32"].duplicated(keep="first")).astype(np.int64)
+    keep = (~d["h64"].duplicated(keep="first")).astype(np.int64)
     return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(),
                          "widx": d["widx"].to_numpy(),
                          "keep": keep.to_numpy()}).astype("int64")
