@@ -32,6 +32,14 @@ Semantics (brute-force-mirrored in tests/test_spans.py):
   no keep-marked window does — the canonical first copy survives
   intact, every other copy is cut, and the boundary words a kept and
   a dropped span share stay with the kept copy.
+
+"Duplicated" means hash-equal: the 64-bit window hash budgets ~n²/2^65
+birthday collisions — negligible through 10^9 windows, ~30k spurious
+window pairs at 10^12 (a 100 TB corpus), each costing ≤ ``window``
+wrongly-removed words in one doc. Exact-match verification would need
+a text-bearing join per candidate pair (the cost this design avoids);
+a pipeline that cannot tolerate that error rate should run the
+suffix-array construction instead.
 """
 
 from __future__ import annotations
@@ -80,7 +88,14 @@ def _window_hash_arrays(text: str, window: int, stride: int
         return (np.zeros(1, np.int64),
                 np.array([(c * powers).sum()], np.uint64))
     sw = np.lib.stride_tricks.sliding_window_view(c, window)[::stride]
-    h = (sw * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # chunk the (windows × W) product so a mega-doc's temporary stays
+    # ~32 MB instead of windows×W×8 bytes (a 10M-word doc would
+    # otherwise materialize 1.3 GB here)
+    h = np.empty(len(sw), np.uint64)
+    step = 1 << 18
+    for s in range(0, len(sw), step):
+        h[s:s + step] = (sw[s:s + step] * powers[None, :]) \
+            .sum(axis=1, dtype=np.uint64)
     idx = np.arange(0, n - window + 1, stride, dtype=np.int64)
     return idx, h
 
