@@ -248,6 +248,26 @@ def main(argv=None) -> int:
                       help="do not strip a leading www. host label")
     sp_u.add_argument("--num-cpus", type=int, default=None)
 
+    sp_ct = sub.add_parser(
+        "clean-text",
+        help="pre-tokenizer text hygiene over a (id, text) parquet "
+             "table: Unicode NFC/NFKC, control/zero-width/bidi-isolate "
+             "stripping, optional whitespace collapse; rewrites the "
+             "text column and appends n_removed_chars")
+    sp_ct.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_ct.add_argument("--out", required=True)
+    sp_ct.add_argument("--id-col", default="doc_id")
+    sp_ct.add_argument("--text-col", default="text")
+    sp_ct.add_argument("--nfkc", action="store_true",
+                       help="NFKC instead of NFC (also folds "
+                            "compatibility forms: ligatures, width "
+                            "variants, superscripts)")
+    sp_ct.add_argument("--collapse-whitespace", action="store_true",
+                       help="runs of whitespace become one space "
+                            "(erases line structure)")
+    sp_ct.add_argument("--num-cpus", type=int, default=None)
+
     sp_m = sub.add_parser(
         "sample-mixture",
         help="sample a corpus to a target source mixture with maximum "
@@ -384,7 +404,7 @@ def main(argv=None) -> int:
                 ray.shutdown()
 
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
-                    "dedup-incremental"):
+                    "dedup-incremental", "clean-text"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -413,6 +433,11 @@ def main(argv=None) -> int:
                 from pdfextract_ray.stages.dedup import \
                     remove_duplicate_paragraphs
                 out_ds = remove_duplicate_paragraphs(ds)
+            elif args.cmd == "clean-text":
+                from pdfextract_ray.stages.clean import clean_documents
+                out_ds = clean_documents(
+                    ds, form="NFKC" if args.nfkc else "NFC",
+                    collapse_whitespace=args.collapse_whitespace)
             elif args.cmd == "dedup-spans":
                 from pdfextract_ray.stages.spans import (
                     duplicate_span_stats, remove_duplicate_spans)
