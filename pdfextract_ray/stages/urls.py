@@ -54,6 +54,12 @@ def canonical_url(url: str, *, strip_www: bool = True,
         port = parts.port
     except ValueError:
         return u
+    if not parts.netloc and parts.path.startswith("//"):
+        # urlunsplit cannot round-trip this shape: with an empty
+        # authority it emits scheme:'//...'path, whose leading slashes
+        # reparse as a HOST ("http:////0" → "http://0") — a known
+        # stdlib round-trip hazard; bail to identity for garbage input
+        return u
     if strip_www and host.startswith("www.") and host.count(".") >= 2:
         host = host[4:]
     if ":" in host:  # urlsplit strips the brackets off IPv6 literals
