@@ -172,3 +172,37 @@ def test_stride_catches_phase_aligned_runs(ray_session):
     stats = S.duplicate_span_stats(_ds(docs), window=16, stride=8,
                                    shard_mask=63).to_pandas()
     assert set(stats["doc_id"]) == {0, 1}
+
+
+def test_removal_matches_brute_force_randomized(ray_session):
+    """Property sweep: 5 random corpora (random doc counts/lengths,
+    randomly planted cross-doc and within-doc copies at random
+    offsets, random window sizes) — the distributed removal must equal
+    the brute-force semantics on every one."""
+    for trial in range(5):
+        rng = np.random.RandomState(1000 + trial)
+        window = int(rng.choice([8, 16, 24]))
+        n_docs = int(rng.randint(4, 10))
+        docs = {}
+        for d in range(n_docs):
+            docs[d] = _doc(int(rng.randint(5, 120)), seed=2000 + 10 * trial + d)
+        # plant a copied run into 2-3 docs at random offsets
+        run_len = window + int(rng.randint(0, 20))
+        run = " ".join(f"t{trial}r{i}" for i in range(run_len))
+        for d in rng.choice(n_docs, size=int(rng.randint(2, 4)),
+                            replace=False):
+            words = docs[int(d)].split()
+            pos = int(rng.randint(0, len(words) + 1))
+            docs[int(d)] = " ".join(words[:pos] + [run] + words[pos:])
+        dup, masks = _brute(docs, window)
+        out = S.remove_duplicate_spans(_ds(docs), window=window,
+                                       shard_mask=31).to_pandas() \
+            .set_index("doc_id").sort_index()
+        for doc_id, text in docs.items():
+            words = ascii_words(text)
+            expect = " ".join(w for w, r in zip(words, masks[doc_id])
+                              if not r)
+            assert out.loc[doc_id, "clean_text"] == expect, \
+                (trial, doc_id)
+            assert out.loc[doc_id, "n_removed"] == \
+                int(masks[doc_id].sum()), (trial, doc_id)
