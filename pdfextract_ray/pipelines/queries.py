@@ -1463,24 +1463,38 @@ _BROADCAST_PAIR_LIMIT = 2_000_000
 
 
 def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
-    """Attach ``text_a``/``text_b`` to candidate id pairs ``(a, b)``
-    (duplicates folded) for exact verification.
+    """Attach precomputed shingle sets ``sh_a``/``sh_b`` (packed uint64
+    bytes, ``dedup.shingle_bytes``) to candidate id pairs ``(a, b)``
+    (duplicates folded) for exact verification. Shipping the shingle
+    set instead of raw text means each doc is crc32-shingled ONCE here
+    rather than once per candidate pair in the verify — and the verify
+    becomes a C-speed sorted-array intersect.
 
     Small candidate sets — the common case after LSH banding or prefix
     filtering — take the broadcast pattern: the deduplicated id pairs
     (16 bytes each, bounded by ``_BROADCAST_PAIR_LIMIT``) come to the
     driver, the candidate-id set is ``ray.put`` ONCE, and every
     documents batch drops its non-candidate rows BEFORE a small hash
-    join — the corpus text never shuffles, and the join partitions
-    shrink to match the data (measured at sf0.1/32cpu: 43 s of
-    Aggregate + two corpus-wide joins became ~6 s). Above the limit the
-    plan stays fully distributed: groupby pair-dedupe and two
-    corpus-wide hash joins (the round-3 design). Ids may land on the
-    driver under an explicit bound; document text never does."""
+    join — corpus text never shuffles, and only candidate docs are
+    shingled (measured at sf0.1/32cpu: 43 s of Aggregate + two
+    corpus-wide joins became ~6 s; the shingle-payload swap then cut
+    the verify tail again). Above the limit the plan stays fully
+    distributed: groupby pair-dedupe and two corpus-wide hash joins
+    (the round-3 design; there the whole corpus is shingled in the
+    prune map — at that pair density most docs are candidates anyway).
+    Ids may land on the driver under an explicit bound; document text
+    never does."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
     import ray.data
+
+    from pdfextract_ray.stages.dedup import shingle_bytes
+
+    def _project(t: pa.Table, k: str, sn: str) -> pa.Table:
+        sh = [shingle_bytes(x or "") for x in t["text"].to_pylist()]
+        return pa.table({k: t["doc_id"],
+                         sn: pa.array(sh, pa.binary())})
 
     if n_pairs <= _BROADCAST_PAIR_LIMIT:
         df = pairs.select_columns(["a", "b"]).to_pandas() \
@@ -1488,11 +1502,11 @@ def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
         ids_ref = ray.put(np.unique(np.concatenate(
             [df["a"].to_numpy(), df["b"].to_numpy()])))
 
-        def _docs(key: str, text_name: str):
-            def prune(t: pa.Table, k=key, tn=text_name) -> pa.Table:
+        def _docs(key: str, sh_name: str):
+            def prune(t: pa.Table, k=key, sn=sh_name) -> pa.Table:
                 ids = pa.array(ray.get(ids_ref), pa.int64())
-                t = t.filter(pc.is_in(t["doc_id"], value_set=ids))
-                return pa.table({k: t["doc_id"], tn: t["text"]})
+                return _project(
+                    t.filter(pc.is_in(t["doc_id"], value_set=ids)), k, sn)
             return _read(sf_dir, "documents", ["doc_id", "text"]) \
                 .map_batches(prune, batch_format="pyarrow")
 
@@ -1501,24 +1515,24 @@ def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
     else:
         from ray.data.aggregate import Min
 
-        def _docs(key: str, text_name: str):
-            return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-                lambda t, k=key, tn=text_name: pa.table(
-                    {k: t["doc_id"], tn: t["text"]}),
-                batch_format="pyarrow")
+        def _docs(key: str, sh_name: str):
+            return _read(sf_dir, "documents", ["doc_id", "text"]) \
+                .map_batches(
+                    lambda t, k=key, sn=sh_name: _project(t, k, sn),
+                    batch_format="pyarrow")
 
         pairs_ds = coalesce_for_join(
             pairs.groupby(["a", "b"]).aggregate(Min("a", alias_name="_k")))
         nparts = join_partitions()
 
-    with_a = pairs_ds.join(_docs("a_key", "text_a"), join_type="inner",
+    with_a = pairs_ds.join(_docs("a_key", "sh_a"), join_type="inner",
                            num_partitions=nparts, on=("a",),
                            right_on=("a_key",))
     # join→join boundary MUST re-coalesce: sparse first-join output
     # emits schema-less EMPTY blocks that crash the second join's
     # FieldRef resolution under Ray 2.49 (the round-3 red row)
     with_a = coalesce_for_join(with_a)
-    return with_a.join(_docs("b_key", "text_b"), join_type="inner",
+    return with_a.join(_docs("b_key", "sh_b"), join_type="inner",
                        num_partitions=nparts, on=("b",),
                        right_on=("b_key",))
 
@@ -1533,7 +1547,8 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
     document text ever lands on the driver."""
     import pyarrow.compute as pc
     from pdfextract_ray.stages.dedup import (default_shard_mask,
-                                             minhash_bands_batch, ngram_jaccard,
+                                             minhash_bands_batch,
+                                             ngram_jaccard_packed,
                                              shard_pairs_group)
 
     mask = default_shard_mask()  # driver-derived once; see q_dedup_minhash
@@ -1554,9 +1569,9 @@ def q_dedup_minhash_verified(sf_dir: str, threshold: float = 0.4):
         # raw |∩|/|∪| division, NOT rounded: both engines divide the
         # same two ints, so the IEEE result is bit-identical and the
         # oracle hash matches without a grid snap
-        jac = [ngram_jaccard(ta or "", tb or "")
-               for ta, tb in zip(t["text_a"].to_pylist(),
-                                 t["text_b"].to_pylist())]
+        jac = [ngram_jaccard_packed(sa, sb)
+               for sa, sb in zip(t["sh_a"].to_pylist(),
+                                 t["sh_b"].to_pylist())]
         out = pa.table({"a": t["a"], "b": t["b"],
                         "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
@@ -1581,7 +1596,8 @@ def q_dedup_ngram_jaccard(sf_dir: str, t_num: int = 4, t_den: int = 5):
     final verify is the same pairs⋈documents⋈documents hash-join
     pattern as ``dedup_minhash_verified``."""
     import pyarrow.compute as pc
-    from pdfextract_ray.stages.dedup import (default_shard_mask, ngram_jaccard,
+    from pdfextract_ray.stages.dedup import (default_shard_mask,
+                                             ngram_jaccard_packed,
                                              prefix_pairs_shard,
                                              prefix_tokens_shard,
                                              shingle_explode_batch,
@@ -1619,9 +1635,9 @@ def q_dedup_ngram_jaccard(sf_dir: str, t_num: int = 4, t_den: int = 5):
 
     def verify(t: pa.Table) -> pa.Table:
         # raw |∩|/|∪| int division — bit-identical to the oracle's
-        jac = [ngram_jaccard(ta or "", tb or "")
-               for ta, tb in zip(t["text_a"].to_pylist(),
-                                 t["text_b"].to_pylist())]
+        jac = [ngram_jaccard_packed(sa, sb)
+               for sa, sb in zip(t["sh_a"].to_pylist(),
+                                 t["sh_b"].to_pylist())]
         out = pa.table({"a": t["a"], "b": t["b"],
                         "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))

@@ -504,6 +504,26 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / float(len(sa | sb))
 
 
+def shingle_bytes(text: str, k: int = 3) -> bytes:
+    """``_shingle_hashes`` packed as uint64 bytes — the precomputed
+    form the pair-verify joins ship instead of raw text (each doc is
+    shingled ONCE instead of once per candidate pair)."""
+    return _shingle_hashes(text, k).tobytes()
+
+
+def ngram_jaccard_packed(a: bytes, b: bytes) -> float:
+    """``ngram_jaccard`` over two :func:`shingle_bytes` payloads.
+    Bit-identical: the arrays are the same unique sorted hash sets, so
+    |∩| via ``intersect1d`` and |∪| = na + nb − |∩| are the same two
+    integers the set version divides."""
+    sa = np.frombuffer(a or b"", dtype=np.uint64)
+    sb = np.frombuffer(b or b"", dtype=np.uint64)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / float(len(sa) + len(sb) - inter)
+
+
 # ------------------------------------------------------------------
 # Exact n-gram-Jaccard set-similarity self-join (All-Pairs / PPJoin
 # family: Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
