@@ -1502,13 +1502,23 @@ def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
         ids_ref = ray.put(np.unique(np.concatenate(
             [df["a"].to_numpy(), df["b"].to_numpy()])))
 
+        def prune(t: pa.Table) -> pa.Table:
+            ids = pa.array(ray.get(ids_ref), pa.int64())
+            return _project(
+                t.filter(pc.is_in(t["doc_id"], value_set=ids)),
+                "key", "sh")
+
+        # ONE scan + ONE shingling of the candidate docs, reused by
+        # both join sides as a cheap column rename (candidate-sized,
+        # so the materialize is bounded by the pair universe)
+        base = _read(sf_dir, "documents", ["doc_id", "text"]) \
+            .map_batches(prune, batch_format="pyarrow").materialize()
+
         def _docs(key: str, sh_name: str):
-            def prune(t: pa.Table, k=key, sn=sh_name) -> pa.Table:
-                ids = pa.array(ray.get(ids_ref), pa.int64())
-                return _project(
-                    t.filter(pc.is_in(t["doc_id"], value_set=ids)), k, sn)
-            return _read(sf_dir, "documents", ["doc_id", "text"]) \
-                .map_batches(prune, batch_format="pyarrow")
+            return base.map_batches(
+                lambda t, k=key, sn=sh_name: pa.table(
+                    {k: t["key"], sn: t["sh"]}),
+                batch_format="pyarrow")
 
         pairs_ds = coalesce_for_join(ray.data.from_pandas(df))
         nparts = 4  # candidate-sized join, not corpus-sized
