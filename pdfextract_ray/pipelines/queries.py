@@ -1460,6 +1460,11 @@ def q_dedup_simhash(sf_dir: str):
 # put >~32 MB of ids on the driver; fall back to the fully distributed
 # plan (ids are 16 B/pair; text NEVER lands on the driver either way).
 _BROADCAST_PAIR_LIMIT = 2_000_000
+# map-side tier: below this many UNIQUE candidate docs the shingle
+# table (~1.6 KB/doc → ≤160 MB) is held as plasma refs and indexed
+# inside each verify actor — no Dataset.join at all (each Ray 2.49
+# join operator costs ~1-2 s fixed, and the pair-verify path has two)
+_BROADCAST_DOC_LIMIT = 100_000
 
 
 def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
@@ -1470,20 +1475,27 @@ def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
     rather than once per candidate pair in the verify — and the verify
     becomes a C-speed sorted-array intersect.
 
-    Small candidate sets — the common case after LSH banding or prefix
-    filtering — take the broadcast pattern: the deduplicated id pairs
-    (16 bytes each, bounded by ``_BROADCAST_PAIR_LIMIT``) come to the
-    driver, the candidate-id set is ``ray.put`` ONCE, and every
-    documents batch drops its non-candidate rows BEFORE a small hash
-    join — corpus text never shuffles, and only candidate docs are
-    shingled (measured at sf0.1/32cpu: 43 s of Aggregate + two
-    corpus-wide joins became ~6 s; the shingle-payload swap then cut
-    the verify tail again). Above the limit the plan stays fully
-    distributed: groupby pair-dedupe and two corpus-wide hash joins
-    (the round-3 design; there the whole corpus is shingled in the
-    prune map — at that pair density most docs are candidates anyway).
+    Three tiers by candidate size, each with the same output schema:
+
+    1. ``len(unique docs) <= _BROADCAST_DOC_LIMIT``: map-side join —
+       the candidate shingle table stays in plasma (``to_arrow_refs``;
+       the driver holds refs only), each verify actor indexes it once,
+       pairs stream through with ZERO Dataset.joins (each Ray 2.49
+       join operator costs ~1-2 s fixed and this path had two).
+    2. ``n_pairs <= _BROADCAST_PAIR_LIMIT``: broadcast-pruned joins —
+       the deduplicated id pairs (16 bytes each) come to the driver,
+       the candidate-id set is ``ray.put`` ONCE, every documents batch
+       drops non-candidate rows BEFORE candidate-sized hash joins
+       (measured at sf0.1/32cpu: 43 s of Aggregate + two corpus-wide
+       joins became ~6 s).
+    3. Above the pair limit: fully distributed — groupby pair-dedupe
+       and two corpus-wide hash joins (the round-3 design; the whole
+       corpus is shingled in the prune map — at that pair density most
+       docs are candidates anyway).
+
     Ids may land on the driver under an explicit bound; document text
-    never does."""
+    never does, and the shingle payload at most reaches actor heaps
+    under the tier-1 doc bound."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
@@ -1499,8 +1511,9 @@ def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
     if n_pairs <= _BROADCAST_PAIR_LIMIT:
         df = pairs.select_columns(["a", "b"]).to_pandas() \
                   .drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-        ids_ref = ray.put(np.unique(np.concatenate(
-            [df["a"].to_numpy(), df["b"].to_numpy()])))
+        uniq_ids = np.unique(np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()]))
+        ids_ref = ray.put(uniq_ids)
 
         def prune(t: pa.Table) -> pa.Table:
             ids = pa.array(ray.get(ids_ref), pa.int64())
@@ -1509,10 +1522,41 @@ def _pair_text_join(pairs, sf_dir: str, n_pairs: int):
                 "key", "sh")
 
         # ONE scan + ONE shingling of the candidate docs, reused by
-        # both join sides as a cheap column rename (candidate-sized,
-        # so the materialize is bounded by the pair universe)
+        # both join sides (candidate-sized, so the materialize is
+        # bounded by the pair universe)
         base = _read(sf_dir, "documents", ["doc_id", "text"]) \
             .map_batches(prune, batch_format="pyarrow").materialize()
+
+        if len(uniq_ids) <= _BROADCAST_DOC_LIMIT:
+            # map-side tier: the shingle table stays in plasma
+            # (to_arrow_refs — the DRIVER holds only refs, never the
+            # corpus-derived payload); each verify actor indexes it
+            # once in __init__ and the pairs stream through with zero
+            # joins. Output schema identical to the join tiers.
+            refs = base.to_arrow_refs()
+
+            class _AttachShingles:
+                def __init__(self, refs):
+                    self.sh: dict = {}
+                    for tbl in ray.get(list(refs)):
+                        self.sh.update(zip(tbl["key"].to_pylist(),
+                                           tbl["sh"].to_pylist()))
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    sh_a = [self.sh.get(a, b"")
+                            for a in t["a"].to_pylist()]
+                    sh_b = [self.sh.get(b, b"")
+                            for b in t["b"].to_pylist()]
+                    return pa.table({
+                        "a": t["a"], "b": t["b"],
+                        "sh_a": pa.array(sh_a, pa.binary()),
+                        "sh_b": pa.array(sh_b, pa.binary()),
+                    })
+
+            return ray.data.from_pandas(df).map_batches(
+                _AttachShingles, fn_constructor_args=(refs,),
+                batch_format="pyarrow", concurrency=(1, 4),
+                batch_size=8192)
 
         def _docs(key: str, sh_name: str):
             return base.map_batches(

@@ -142,3 +142,22 @@ def test_pair_text_join_distributed_fallback_equals_broadcast(monkeypatch):
     assert small["a"].tolist() == big["a"].tolist()
     assert small["b"].tolist() == big["b"].tolist()
     assert small["jaccard"].tolist() == big["jaccard"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pair_join_tier2_equals_mapside_tier1(monkeypatch):
+    """Zeroing _BROADCAST_DOC_LIMIT forces the broadcast-pruned JOIN
+    tier; its verified rows must equal the default map-side tier's —
+    all three tiers of _pair_text_join stay exercised (tier 3 has its
+    own fallback test above)."""
+    from pdfextract_ray.pipelines import queries as Q
+    sf = "/root/testdata/sf0.001"
+    mapside = Q.q_dedup_ngram_jaccard(sf).to_pandas()
+    monkeypatch.setattr(Q, "_BROADCAST_DOC_LIMIT", 0)
+    joined = Q.q_dedup_ngram_jaccard(sf).to_pandas()
+    mapside = mapside.sort_values(["a", "b"]).reset_index(drop=True)
+    joined = joined.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(mapside) == len(joined) > 0
+    assert mapside["a"].tolist() == joined["a"].tolist()
+    assert mapside["b"].tolist() == joined["b"].tolist()
+    assert mapside["jaccard"].tolist() == joined["jaccard"].tolist()
