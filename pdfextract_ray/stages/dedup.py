@@ -839,6 +839,52 @@ def _rebuild_clean_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+_MAPSIDE_DOC_LIMIT = 500_000
+
+
+def attach_mapside(docs, lists_ds, col: str, finish_fn):
+    """Map-side replacement for the removal ops' corpus×drop-minority
+    ``left_outer`` join: the per-doc list table (duplicate-minority-
+    sized, pre-checked ≤ ``_MAPSIDE_DOC_LIMIT`` rows) stays in plasma
+    as Arrow refs — the driver holds refs only — and each actor
+    indexes it once in ``__init__``; the corpus streams through with
+    the ``col`` string attached (None where absent, matching the left
+    join's null) straight into ``finish_fn``. Skips the join
+    operator's ~1-2 s fixed cost AND the corpus-side repartition+
+    materialize its empty-block guard required."""
+    import ray
+
+    refs = lists_ds.to_arrow_refs()
+
+    class _Attach:
+        def __init__(self, refs, col, finish):
+            self.col, self.finish = col, finish
+            self.m: dict = {}
+            for blk in ray.get(list(refs)):
+                # map_groups upstreams emit some EMPTY blocks with no
+                # columns (pandas) — skip them; blocks may arrive as
+                # pandas OR arrow depending on the producing stage
+                if isinstance(blk, pa.Table):
+                    if "doc_id" not in blk.column_names:
+                        continue
+                    self.m.update(zip(blk["doc_id"].to_pylist(),
+                                      blk[col].to_pylist()))
+                else:
+                    if "doc_id" not in blk.columns:
+                        continue
+                    self.m.update(zip(blk["doc_id"].tolist(),
+                                      blk[col].tolist()))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = [self.m.get(d) for d in t["doc_id"].to_pylist()]
+            return self.finish(t.append_column(
+                self.col, pa.array(vals, pa.string())))
+
+    return docs.map_batches(
+        _Attach, fn_constructor_args=(refs, col, finish_fn),
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=256)
+
+
 def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
     """C4-style span REMOVAL over a (doc_id, text) Dataset: every
     occurrence of a 16-word window except its global first (ordered by
@@ -880,7 +926,8 @@ def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
 
     drop_lists = drops.groupby("doc_id") \
         .map_groups(to_lists, batch_format="pandas").materialize()
-    if drop_lists.count() == 0:
+    n_drop_docs = drop_lists.count()
+    if n_drop_docs == 0:
         # no duplicates anywhere: bypass the join — a FULLY empty
         # map_groups output yields schema-less blocks Ray 2.49's hash
         # join cannot resolve the key against, even after coalescing
@@ -889,6 +936,12 @@ def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
             return _rebuild_clean_batch(t.append_column(
                 "dropped", pa.array([None] * len(t), pa.string())))
         return docs.map_batches(passthrough, batch_format="pyarrow")
+    if n_drop_docs <= _MAPSIDE_DOC_LIMIT:
+        # map-side tier: drop-lists are the duplicate minority — see
+        # attach_mapside (skips the join's fixed cost + the corpus
+        # repartition its empty-block guard required)
+        return attach_mapside(docs, drop_lists, "dropped",
+                              _rebuild_clean_batch)
     joined = coalesce_for_join(docs, n=join_partitions()).join(
         coalesce_for_join(drop_lists), join_type="left_outer",
         on=("doc_id",), num_partitions=join_partitions())

@@ -51,6 +51,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from pdfextract_ray.stages import dedup as D
 from pdfextract_ray.stages.dedup import _mask
 from pdfextract_ray.stages.textstats import ascii_words
 
@@ -295,7 +296,8 @@ def remove_duplicate_spans(docs, window: int = SPAN_WINDOW,
     occ_lists = dups.groupby("doc_id") \
         .map_groups(to_lists, batch_format="pandas").materialize()
     rebuild = functools.partial(_rebuild_span_batch, window=window)
-    if occ_lists.count() == 0:
+    n_occ_docs = occ_lists.count()
+    if n_occ_docs == 0:
         # no duplicates anywhere: bypass the join (a fully empty
         # map_groups output yields schema-less blocks Ray 2.49's hash
         # join cannot resolve the key against — same guard as
@@ -304,6 +306,12 @@ def remove_duplicate_spans(docs, window: int = SPAN_WINDOW,
             return rebuild(t.append_column(
                 "occs", pa.array([None] * len(t), pa.string())))
         return docs.map_batches(passthrough, batch_format="pyarrow")
+    if n_occ_docs <= D._MAPSIDE_DOC_LIMIT:
+        # map-side tier: the occurrence lists are the duplicate
+        # minority — plasma refs + one per-actor dict beat a
+        # corpus×minority left_outer join (each Ray 2.49 join operator
+        # costs ~1-2 s fixed; see queries._pair_text_join tier 1)
+        return D.attach_mapside(docs, occ_lists, "occs", rebuild)
     joined = coalesce_for_join(docs, n=join_partitions()).join(
         coalesce_for_join(occ_lists), join_type="left_outer",
         on=("doc_id",), num_partitions=join_partitions())

@@ -206,3 +206,26 @@ def test_removal_matches_brute_force_randomized(ray_session):
                 (trial, doc_id)
             assert out.loc[doc_id, "n_removed"] == \
                 int(masks[doc_id].sum()), (trial, doc_id)
+
+
+def test_removal_join_tier_equals_mapside(ray_session, monkeypatch):
+    """Forcing the left_outer-join tier (zero _MAPSIDE_DOC_LIMIT) must
+    produce exactly the map-side tier's output — both removal ops."""
+    from pdfextract_ray.stages import dedup as D
+    docs = _corpus()
+    a = S.remove_duplicate_spans(_ds(docs), shard_mask=63).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(D, "_MAPSIDE_DOC_LIMIT", 0)
+    b = S.remove_duplicate_spans(_ds(docs), shard_mask=63).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    texts = {0: "shared window " + " ".join(f"p{i}" for i in range(16)),
+             1: " ".join(f"p{i}" for i in range(16)) + " unique tail"}
+    pd_docs = _ds(texts)
+    monkeypatch.setattr(D, "_MAPSIDE_DOC_LIMIT", 500_000)
+    pa_ = D.remove_duplicate_paragraphs(pd_docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(D, "_MAPSIDE_DOC_LIMIT", 0)
+    pb = D.remove_duplicate_paragraphs(pd_docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert pa_.equals(pb)
