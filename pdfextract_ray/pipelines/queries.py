@@ -444,15 +444,28 @@ def curate_neardup(ds):
       text — the exact-dedup groupby moves (hash, sig, metadata) only;
     - LSH banding runs from the carried signature
       (``bands_from_sig_batch``), no re-read of winners;
-    - near-dup non-representatives (at web scale commonly 20-50% of the
-      corpus — never driver-sized) are removed with a distributed
-      hash-partitioned ``left_anti`` join on doc_id, not a broadcast
-      drop-set."""
+    - near-dup non-representatives are removed map-side when their id
+      list fits an explicit bound (ints only, ``ray.put`` once,
+      ``pc.is_in`` filter — no join operator, no corpus repartition);
+      above the bound (at web scale the drop set can be 20-50% of the
+      corpus) the plan stays a distributed hash-partitioned
+      ``left_anti`` join on doc_id."""
     exact, pairs = _curate_exact_pairs(ds)
     out_cols = ["url", "lang", "title", "n_refs", "n_tokens"]
     dropped = _neardup_drop_ids(pairs)
     if dropped is None or dropped.count() == 0:
         return exact.select_columns(out_cols)
+    drop_ref = _drop_ids_ref(dropped)
+    if drop_ref is not None:
+        import pyarrow.compute as pc
+        import ray
+
+        def anti(t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t["doc_id"],
+                                      value_set=ray.get(drop_ref)))
+            return t.filter(mask).select(out_cols)
+
+        return exact.map_batches(anti, batch_format="pyarrow")
     # distributed anti-join: winners minus near-dup non-representatives,
     # hash-partitioned on doc_id — nothing lands on the driver. The
     # left side is map_groups-derived, so it gets the same pre-join
@@ -468,9 +481,10 @@ def curate_annotated(ds):
     near-dup clustering verdict (``is_representative``) instead of
     filtered by it — every row of this table is an exact-stage winner;
     the rows with ``is_representative`` are exactly
-    :func:`curate_neardup`'s output. Same distributed plan (the final
-    step is a hash-partitioned ``left_outer`` join instead of
-    ``left_anti``); one table encodes both stages' keep-sets."""
+    :func:`curate_neardup`'s output. Same tiers as curate_neardup (the
+    map-side pass flags instead of filtering; the distributed fallback
+    is a ``left_outer`` join instead of ``left_anti``); one table
+    encodes both stages' keep-sets."""
     import pyarrow.compute as pc
 
     exact, pairs = _curate_exact_pairs(ds)
@@ -482,12 +496,35 @@ def curate_annotated(ds):
                 "is_representative",
                 pa.array([True] * len(t), pa.bool_())),
             batch_format="pyarrow")
+    drop_ref = _drop_ids_ref(dropped)
+    if drop_ref is not None:
+        import ray
+
+        def flag_mapside(t: pa.Table) -> pa.Table:
+            rep = pc.invert(pc.is_in(t["doc_id"],
+                                     value_set=ray.get(drop_ref)))
+            return t.select(out_cols).append_column(
+                "is_representative", rep)
+
+        return exact.map_batches(flag_mapside, batch_format="pyarrow")
+    # the right side needs a NON-KEY payload column: Ray 2.49's
+    # left_outer join omits the right KEY column from its output
+    # entirely (even on matched rows), so null-testing drop_id can
+    # never see a match — a marker column survives the join instead
+    marked = coalesce_for_join(dropped.map_batches(
+        lambda t: t.append_column(
+            "_dropped", pa.array([True] * len(t), pa.bool_())),
+        batch_format="pyarrow"))
     annotated = coalesce_for_join(exact, n=join_partitions()).join(
-        dropped, join_type="left_outer", num_partitions=join_partitions(),
+        marked, join_type="left_outer", num_partitions=join_partitions(),
         on=("doc_id",), right_on=("drop_id",))
 
     def flag(t: pa.Table) -> pa.Table:
-        rep = pc.is_null(t["drop_id"])
+        # a block from an empty right partition can still arrive
+        # without the marker column at all — no match, representative
+        rep = pc.is_null(t["_dropped"]) \
+            if "_dropped" in t.column_names \
+            else pa.array([True] * len(t), pa.bool_())
         return t.select(out_cols).append_column("is_representative", rep)
 
     return annotated.map_batches(flag, batch_format="pyarrow")
@@ -583,6 +620,26 @@ def _neardup_drop_ids(pairs):
             else t["node"], pa.int64())}).filter(
             pc.not_equal(t["node"], t["label"])),
         batch_format="pyarrow"))
+
+
+_BROADCAST_DROP_LIMIT = 2_000_000
+
+
+def _drop_ids_ref(dropped):
+    """ObjectRef of the sorted drop-id int64 array when the drop set
+    fits ``_BROADCAST_DROP_LIMIT`` (ids only — 16 MB at the bound —
+    the same explicit-bound precedent as ``_pair_text_join``), else
+    None → caller uses the distributed join tier."""
+    import numpy as np
+    import ray
+
+    if dropped.count() > _BROADCAST_DROP_LIMIT:
+        return None
+    df = dropped.to_pandas()
+    if "drop_id" not in df.columns:   # all-empty-block collect
+        return ray.put(pa.array([], pa.int64()))
+    ids = np.sort(df["drop_id"].to_numpy(dtype=np.int64))
+    return ray.put(pa.array(ids, pa.int64()))
 
 
 # ----------------------------------------------------------- text analysis

@@ -813,7 +813,10 @@ def _rebuild_clean_batch(batch: pa.Table) -> pa.Table:
     lowered words (non-ASCII full-casefold pathologies)."""
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    drops_col = batch["dropped"].to_pylist()
+    # a left_outer block from an empty right partition can arrive
+    # WITHOUT the right-side column at all (Ray 2.49): no drop-list
+    drops_col = batch["dropped"].to_pylist() \
+        if "dropped" in batch.column_names else [None] * len(batch)
     out_text: list[str] = []
     n_paras: list[int] = []
     n_removed: list[int] = []

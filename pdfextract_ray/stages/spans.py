@@ -223,7 +223,10 @@ def _rebuild_span_batch(batch: pa.Table, window: int) -> pa.Table:
     lowercase windows."""
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    occs_col = batch["occs"].to_pylist()
+    # a left_outer block from an empty right partition can arrive
+    # WITHOUT the right-side column at all (Ray 2.49): no occurrences
+    occs_col = batch["occs"].to_pylist() \
+        if "occs" in batch.column_names else [None] * len(batch)
     out_text: list[str] = []
     n_words_out: list[int] = []
     n_removed: list[int] = []

@@ -131,3 +131,39 @@ def test_curate_neardup_drops_planted_near_duplicates(ray_session):
               key=lambda u: int.from_bytes(
                   hashlib.md5(u.encode()).digest()[:8], "big") >> 1)
     assert sorted(out["url"]) == sorted([rep, "http://c/1"])
+
+
+def test_curate_neardup_join_tier_equals_mapside(ray_session, monkeypatch):
+    """Forcing the distributed anti/outer-join tier (negative
+    _BROADCAST_DROP_LIMIT) must equal the default map-side id filter —
+    for both the filtering and the annotating curation variants."""
+    import pyarrow as pa
+    import ray.data
+    from pdfextract_ray.pipelines import queries as Q
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    near = base.replace("sigma", "sigmoid")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen ") * 4
+    rows = {
+        "url": ["http://a/1", "http://a/2", "http://b/1", "http://c/1"],
+        "title": ["T1", "T2", "T3", "T4"],
+        "text": [base, base, near, other],
+        "lang": ["en"] * 4,
+        "n_refs": [1, 1, 1, 1],
+        "n_tokens": [100] * 4,
+        "error": [None] * 4,
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    a = Q.curate_neardup(ds).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    aa = Q.curate_annotated(ds).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    monkeypatch.setattr(Q, "_BROADCAST_DROP_LIMIT", -1)
+    b = Q.curate_neardup(ds).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    bb = Q.curate_annotated(ds).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
+    assert aa.equals(bb) and aa.is_representative.sum() == len(a)
