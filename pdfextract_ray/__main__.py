@@ -351,14 +351,18 @@ def main(argv=None) -> int:
         DataContext.get_current().enable_progress_bars = False
         try:
             import ray.data
-            ds = ray.data.read_parquet(
-                args.table, columns=[args.id_col, other])
             if args.cmd == "sample-mixture":
+                # the documented output is "the input columns + keep",
+                # so no column pruning here (pack's contract is its
+                # own 5-column table — it stays pruned)
+                ds = ray.data.read_parquet(args.table)
                 from pdfextract_ray.stages.assemble import mixture_sample
                 out_ds = mixture_sample(ds, targets, id_col=args.id_col,
                                         source_col=args.source_col)
             else:
                 from pdfextract_ray.stages.assemble import pack_documents
+                ds = ray.data.read_parquet(
+                    args.table, columns=[args.id_col, other])
                 out_ds = pack_documents(ds, args.budget,
                                         id_col=args.id_col,
                                         tokens_col=args.tokens_col)

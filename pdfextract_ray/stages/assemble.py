@@ -88,10 +88,12 @@ def pack_batch(t: pa.Table, budget: int, id_col: str = "doc_id",
                tokens_col: str = "n_tokens") -> pa.Table:
     """Greedy first-fit-decreasing packing of ONE batch: sort the
     batch's docs by token count descending, drop each into the first
-    open pack with room, close packs at ``budget``. A single doc over
-    budget becomes its own pack, flagged ``oversized`` (the trainer
-    truncates or splits those). Emits (doc_id, n_tokens, pack_id,
-    pack_tokens, oversized); pack_id = min doc_id in the pack."""
+    open pack with room, close packs at ``budget``. A single doc
+    STRICTLY over budget becomes its own pack, flagged ``oversized``
+    (the trainer truncates or splits those; a doc of exactly
+    ``budget`` tokens perfectly fills a normal pack). Emits (doc_id,
+    n_tokens, pack_id, pack_tokens, oversized); pack_id = min doc_id
+    in the pack."""
     n = len(t)
     if n == 0:
         return pa.table({
@@ -108,7 +110,7 @@ def pack_batch(t: pa.Table, budget: int, id_col: str = "doc_id",
     loads: list[int] = []
     for i in order:
         tk = int(toks[i])
-        if tk >= budget:
+        if tk > budget:
             packs.append([int(i)])
             loads.append(tk)
             continue
@@ -128,7 +130,7 @@ def pack_batch(t: pa.Table, budget: int, id_col: str = "doc_id",
         for m in members:
             pack_id[m] = pid
             pack_tok[m] = load
-            oversized[m] = len(members) == 1 and load >= budget
+            oversized[m] = len(members) == 1 and load > budget
     return pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "n_tokens": pa.array(toks, pa.int64()),

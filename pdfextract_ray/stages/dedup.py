@@ -843,6 +843,22 @@ def _rebuild_clean_batch(batch: pa.Table) -> pa.Table:
 
 
 _MAPSIDE_DOC_LIMIT = 500_000
+_MAPSIDE_BYTE_LIMIT = 256 << 20  # per-actor dict cap; lists replicate
+
+
+def mapside_fits(lists_ds, n_rows: int) -> bool:
+    """True when the per-doc list table is small enough for the
+    map-side tier: row count AND materialized bytes both bounded —
+    span occurrence strings are unbounded per doc, so a row-count
+    gate alone could admit a multi-GB dict replicated into every
+    actor heap."""
+    if n_rows > _MAPSIDE_DOC_LIMIT:
+        return False
+    try:
+        size = lists_ds.size_bytes()
+    except Exception:
+        return False
+    return size is not None and size <= _MAPSIDE_BYTE_LIMIT
 
 
 def attach_mapside(docs, lists_ds, col: str, finish_fn):
@@ -939,7 +955,7 @@ def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
             return _rebuild_clean_batch(t.append_column(
                 "dropped", pa.array([None] * len(t), pa.string())))
         return docs.map_batches(passthrough, batch_format="pyarrow")
-    if n_drop_docs <= _MAPSIDE_DOC_LIMIT:
+    if mapside_fits(drop_lists, n_drop_docs):
         # map-side tier: drop-lists are the duplicate minority — see
         # attach_mapside (skips the join's fixed cost + the corpus
         # repartition its empty-block guard required)

@@ -309,7 +309,7 @@ def remove_duplicate_spans(docs, window: int = SPAN_WINDOW,
             return rebuild(t.append_column(
                 "occs", pa.array([None] * len(t), pa.string())))
         return docs.map_batches(passthrough, batch_format="pyarrow")
-    if n_occ_docs <= D._MAPSIDE_DOC_LIMIT:
+    if D.mapside_fits(occ_lists, n_occ_docs):
         # map-side tier: the occurrence lists are the duplicate
         # minority — plasma refs + one per-actor dict beat a
         # corpus×minority left_outer join (each Ray 2.49 join operator

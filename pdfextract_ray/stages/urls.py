@@ -151,6 +151,10 @@ def url_dedup(docs, id_col: str = "doc_id", url_col: str = "url",
                 "keep": pd.Series(dtype="bool")})
         keep = df[id_col] == df.groupby("canonical_url")[id_col] \
             .transform("min")
+        # an empty canonical key means the row HAS no URL (null/""/
+        # unparseable) — those rows share nothing and must never dedup
+        # against each other
+        keep = keep | (df["canonical_url"] == "")
         out = df[[id_col, url_col, "canonical_url"]].copy()
         out["keep"] = keep.to_numpy()
         return out
@@ -187,6 +191,11 @@ def url_drop_list(docs, url_col: str = "url",
         })
 
     def drops_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # url-less rows (empty canonical key: null/""/unparseable) are
+        # never duplicates of each other — excluded BEFORE the min so
+        # a None url can neither crash the string min nor reach the
+        # caller's sorted() drop list
+        df = df[df["canonical_url"] != ""]
         if len(df) == 0:
             return pd.DataFrame({url_col: pd.Series(dtype="object")})
         keep = df[url_col] == df.groupby("canonical_url")[url_col] \
@@ -201,14 +210,22 @@ def url_drop_list(docs, url_col: str = "url",
 def url_dedup_filter(docs, url_col: str = "url",
                      max_broadcast: int = 2_000_000,
                      shard_mask: int | None = None, **kw):
-    """Remove same-canonical-URL duplicate rows from ``docs`` (keeping
+    """Remove same-canonical-URL VARIANT rows from ``docs`` (keeping
     the lexicographic-min original url per key) WITHOUT ever shuffling
     the row payload when the duplicate rate is sane: the drop list —
     the duplicate minority — is broadcast as a ``pc.is_in`` filter
     when it fits ``max_broadcast`` urls, and only beyond that does the
     payload pay a distributed ``left_anti`` join. The pre-extraction
     stage of a curation pipeline: every page this removes is HTML the
-    extractor never parses."""
+    extractor never parses.
+
+    Contract boundaries (both by design): rows whose RAW urls are
+    byte-identical (exact recrawls) all share the min url, so a
+    url-value filter cannot drop one of N — downstream exact content
+    dedup removes those (in ``curate`` it always runs); and url-less
+    rows (null/""/unparseable → empty canonical key) are never treated
+    as duplicates of each other. Use :func:`url_dedup` (id-keyed) when
+    identical-URL rows must also collapse."""
     import ray
     import pyarrow.compute as pc
 

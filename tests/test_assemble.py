@@ -122,3 +122,12 @@ def test_cli_sample_mixture_and_pack(ray_session, tmp_path):
     assert len(t) == n and t.doc_id.is_unique
     assert (t[~t.oversized].groupby("pack_id").n_tokens.sum()
             <= 2048).all()
+
+
+def test_pack_exact_budget_doc_is_not_oversized():
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "n_tokens": pa.array([2048, 2049, 100], pa.int64())})
+    out = A.pack_batch(t, budget=2048).to_pandas().set_index("doc_id")
+    assert not out.loc[1, "oversized"]          # == budget: perfect fill
+    assert out.loc[2, "oversized"]              # strictly over
+    assert out.loc[1, "pack_tokens"] == 2048

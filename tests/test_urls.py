@@ -149,3 +149,39 @@ def test_canonical_url_fuzz_total_idempotent():
         assert canonical_url(c) == c
 
     prop()
+
+
+def test_urlless_rows_never_dedup_against_each_other(ray_session):
+    """Null/empty/unparseable urls canonicalize to "" — those rows
+    share NOTHING and must all be kept by both the id-keyed dedup and
+    the value-keyed filter (review finding: they previously collapsed
+    into one "" group, and None urls crashed the filter's sorted())."""
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": pa.array([None, None, "", "http://a.com/x",
+                         "http://a.com/x/"], pa.string()),
+        "html": ["a", "b", "c", "d", "e"],
+    })
+    docs = ray.data.from_arrow(t)
+    out = url_dedup(docs.select_columns(["doc_id", "url"])) \
+        .to_pandas().sort_values("doc_id")
+    assert out.keep.tolist() == [True, True, True, True, False]
+    from pdfextract_ray.stages.urls import url_dedup_filter
+    kept = url_dedup_filter(docs).to_pandas()
+    assert sorted(kept.doc_id) == [1, 2, 3, 4]   # only the variant drops
+
+
+def test_identical_raw_urls_are_filter_contract_boundary(ray_session):
+    """Byte-identical raw urls: the value-keyed filter keeps both (its
+    documented boundary — downstream exact dedup removes them), while
+    the id-keyed url_dedup collapses them."""
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "url": ["http://a.com/x", "http://a.com/x"],
+        "html": ["same", "same"],
+    })
+    docs = ray.data.from_arrow(t)
+    from pdfextract_ray.stages.urls import url_dedup_filter
+    assert len(url_dedup_filter(docs).to_pandas()) == 2
+    out = url_dedup(docs.select_columns(["doc_id", "url"])).to_pandas()
+    assert sorted(out.keep.tolist()) == [False, True]
