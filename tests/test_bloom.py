@@ -131,3 +131,35 @@ def test_empty_sides_are_safe(ray_session):
     old = ray.data.from_arrow(_table([(1, "existing doc")]))
     res2 = B.dedup_incremental(empty, old_docs=old).to_pandas()
     assert len(res2) == 0
+
+
+def test_incremental_dedup_randomized_sweep(ray_session):
+    """Property sweep: 4 random old/new corpus pairs (random sizes,
+    random planted overlap and internal-dup rates, random fp targets)
+    — verdicts must match the brute-force set comparison on every
+    one, and bloom positives must superset the true duplicates."""
+    for trial in range(4):
+        rng = np.random.RandomState(3000 + trial)
+        n_old = int(rng.randint(50, 400))
+        n_new = int(rng.randint(20, 200))
+        n_dup = int(rng.randint(0, min(n_old, n_new)))
+        fp = float(rng.choice([0.001, 0.01, 0.05]))
+        old_rows = [(i, f"t{trial} old {i}") for i in range(n_old)]
+        new_rows = [(10_000 + i, f"t{trial} new {i}")
+                    for i in range(n_new - n_dup)]
+        picks = rng.choice(n_old, size=n_dup, replace=False)
+        new_rows += [(20_000 + j, f"t{trial} old {int(p)}")
+                     for j, p in enumerate(picks)]
+        old = ray.data.from_arrow(_table(old_rows))
+        new = ray.data.from_arrow(_table(new_rows))
+        res = B.dedup_incremental(new, old_docs=old, fp_rate=fp) \
+            .to_pandas()
+        old_md5 = {hashlib.md5(t.encode()).hexdigest()
+                   for _, t in old_rows}
+        text_of = dict(new_rows)
+        for r in res.itertuples():
+            md5 = hashlib.md5(text_of[r.doc_id].encode()).hexdigest()
+            assert r.dup_vs_old == (md5 in old_md5), (trial, r.doc_id)
+            if md5 in old_md5:
+                assert r.bloom_positive, (trial, r.doc_id)
+        assert res.dup_vs_old.sum() == n_dup, trial

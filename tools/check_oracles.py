@@ -71,6 +71,14 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
 
+    unknown = only - set(qs)
+    if unknown:
+        print("ERROR unknown query name(s) in --only args: %s"
+              % ", ".join(sorted(unknown)))
+        print("      (a typo here silently skips the check it was "
+              "meant to run)")
+        return 2
+
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
