@@ -50,6 +50,19 @@ def _has_size_column(corpus_path) -> bool:
         return False
 
 
+def _ensure_written(out: str, schema) -> None:
+    """Ray's parquet sink DELETES a directory it created when the write
+    turns out empty (documented trap). An empty result is a legitimate
+    outcome for `filter`/`shuffle-export`, so materialize the contract:
+    if the sink removed the dir, write one empty file with the result
+    schema."""
+    if os.path.isdir(out):
+        return
+    import pyarrow.parquet as pq
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(schema.empty_table(), os.path.join(out, "empty.parquet"))
+
+
 def _corpus_ds(args):
     if args.html_dir:
         from pdfextract_ray.sources.readers import read_html_files
@@ -299,6 +312,42 @@ def main(argv=None) -> int:
     sp_pk.add_argument("--tokens-col", default="n_tokens")
     sp_pk.add_argument("--num-cpus", type=int, default=None)
 
+    sp_sh = sub.add_parser(
+        "shuffle-export",
+        help="deterministic pseudo-random scatter of a corpus into a "
+             "fixed number of training shards (out/shard=K/...); "
+             "stateless per-row hash of (id, seed) — no all-to-all; "
+             "carries order_key for reproducible within-shard order")
+    sp_sh.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column")
+    sp_sh.add_argument("--out", required=True)
+    sp_sh.add_argument("--shards", type=int, required=True,
+                       help="number of output shard directories")
+    sp_sh.add_argument("--seed", type=int, default=0,
+                       help="shuffle seed (same seed → same shard "
+                            "membership and order keys)")
+    sp_sh.add_argument("--id-col", default="doc_id")
+    sp_sh.add_argument("--columns", default=None,
+                       help="comma-separated projection (default: all "
+                            "columns)")
+    sp_sh.add_argument("--num-cpus", type=int, default=None)
+
+    sp_f = sub.add_parser(
+        "filter",
+        help="predicate + projection pushdown export: rows matching "
+             "--where, only --columns, filtered in the parquet scanner "
+             "(row-group stats prune whole groups)")
+    sp_f.add_argument("table", help="parquet file/dir")
+    sp_f.add_argument("--where", required=True,
+                      help="e.g. \"lang == 'en' and n_tokens >= 100\"; "
+                           "ops: == != < <= > >=, in (..), is [not] "
+                           "null, and/or/not, parentheses")
+    sp_f.add_argument("--columns", default=None,
+                      help="comma-separated projection (default: all "
+                           "columns)")
+    sp_f.add_argument("--out", required=True)
+    sp_f.add_argument("--num-cpus", type=int, default=None)
+
     sp_q = sub.add_parser(
         "query", help="run a registered corpus query by name over a "
                       "table directory (see `query --list`)")
@@ -367,6 +416,81 @@ def main(argv=None) -> int:
                                         id_col=args.id_col,
                                         tokens_col=args.tokens_col)
             out_ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
+
+    if args.cmd == "shuffle-export":
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        schema = pads.dataset(args.table).schema
+        if args.id_col not in schema.names:
+            p.error("column %r not in %s (has: %s)"
+                    % (args.id_col, args.table, ", ".join(schema.names)))
+        if not pa.types.is_integer(schema.field(args.id_col).type):
+            p.error("--id-col %r must be an integer column (got %s)"
+                    % (args.id_col, schema.field(args.id_col).type))
+        if args.shards < 1:
+            p.error("--shards must be >= 1")
+        cols = None
+        if args.columns:
+            cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+            bad = [c for c in cols if c not in schema.names]
+            if bad:
+                p.error("--columns %s not in %s" % (", ".join(bad),
+                                                    args.table))
+            if args.id_col not in cols:
+                cols = [args.id_col] + cols
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            from pdfextract_ray.stages.shard import shuffle_export
+            ds = ray.data.read_parquet(args.table, columns=cols)
+            shuffle_export(ds, args.out, args.shards, seed=args.seed,
+                           id_col=args.id_col)
+            import pyarrow as pa
+            base = schema if cols is None else pa.schema(
+                [schema.field(c) for c in cols])
+            _ensure_written(args.out, base.append(
+                pa.field("order_key", pa.int64())))
+            print(json.dumps({"out": args.out, "shards": args.shards,
+                              "seed": args.seed, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
+
+    if args.cmd == "filter":
+        from pdfextract_ray.stages.filters import PredicateError, filter_read
+        cols = None
+        if args.columns:
+            cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            try:
+                ds = filter_read(args.table, args.where, columns=cols)
+            except PredicateError as e:
+                p.error(str(e))
+            ds.write_parquet(args.out)
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+            schema = pads.dataset(args.table).schema
+            _ensure_written(args.out, schema if cols is None else pa.schema(
+                [schema.field(c) for c in cols]))
             print(json.dumps({"out": args.out, "ok": True}))
             return 0
         finally:
