@@ -11,6 +11,7 @@ in any stage fails HERE, not in a user's pipeline):
     → decontamination scan  (external eval suite)
     → mixture sample        (target source proportions)
     → token packing         (training shards)
+    → shard assignment      (seeded scatter for the export)
 """
 
 import numpy as np
@@ -132,3 +133,9 @@ def test_full_curation_recipe(ray_session):
     assert len(packs) == int(sampled.keep.sum())
     assert (packs[~packs.oversized].groupby("pack_id")
             .n_tokens.sum() <= 256).all()
+    # 8. deterministic shard assignment for the training export
+    from pdfextract_ray.stages.shard import assign_shards
+    sharded = assign_shards(kept, shards=3, seed=11).to_pandas()
+    assert len(sharded) == len(packs)
+    assert sharded.shard.between(0, 2).all()
+    assert sharded.order_key.is_unique
