@@ -243,6 +243,36 @@ def main(argv=None) -> int:
     sp_i.add_argument("--text-col", default="text")
     sp_i.add_argument("--num-cpus", type=int, default=None)
 
+    sp_ni = sub.add_parser(
+        "neardup-incremental",
+        help="flag a NEW delivery's documents that are NEAR-duplicates "
+             "(MinHash-estimated Jaccard >= --threshold) of an OLD "
+             "corpus; banded LSH join of the delivery against the "
+             "corpus (or a reusable signature snapshot) — new-vs-new "
+             "pairs are out of scope (run dedup_minhash within the "
+             "delivery for those); writes (doc_id, near_dup_of_old, "
+             "matched_old_id, est_jaccard, keep)")
+    sp_ni.add_argument("table", help="NEW delivery parquet file/dir with "
+                                     "an integer id column and a text "
+                                     "column")
+    sp_ni.add_argument("--against", required=True,
+                       help="EXISTING corpus parquet file/dir (same "
+                            "columns), or a signature snapshot written "
+                            "with --write-sigs (pass --sigs)")
+    sp_ni.add_argument("--sigs", action="store_true",
+                       help="--against is a precomputed (doc_id, sig) "
+                            "MinHash snapshot, not raw documents")
+    sp_ni.add_argument("--write-sigs",
+                       help="also write the OLD side's signature "
+                            "snapshot here for reuse by the next "
+                            "delivery")
+    sp_ni.add_argument("--threshold", type=float, default=0.5,
+                       help="estimated-Jaccard cut (default 0.5)")
+    sp_ni.add_argument("--out", required=True)
+    sp_ni.add_argument("--id-col", default="doc_id")
+    sp_ni.add_argument("--text-col", default="text")
+    sp_ni.add_argument("--num-cpus", type=int, default=None)
+
     sp_u = sub.add_parser(
         "dedup-urls",
         help="URL-keyed exact dedup over a (id, url) parquet table: "
@@ -260,6 +290,36 @@ def main(argv=None) -> int:
     sp_u.add_argument("--keep-www", action="store_true",
                       help="do not strip a leading www. host label")
     sp_u.add_argument("--num-cpus", type=int, default=None)
+
+    sp_dc = sub.add_parser(
+        "domain-cap",
+        help="cap pages per registrable domain (RefinedWeb-style): "
+             "keep at most --cap rows per domain — the best by "
+             "--quality-col when given, else the lowest ids — and "
+             "write the surviving rows (all columns)")
+    sp_dc.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a url column")
+    sp_dc.add_argument("--out", required=True)
+    sp_dc.add_argument("--cap", type=int, required=True,
+                       help="max pages kept per registrable domain")
+    sp_dc.add_argument("--id-col", default="doc_id")
+    sp_dc.add_argument("--url-col", default="url")
+    sp_dc.add_argument("--quality-col", default=None,
+                       help="numeric column; higher is kept first "
+                            "(default: keep lowest ids)")
+    sp_dc.add_argument("--verdicts-only", action="store_true",
+                       help="write (id, domain, keep) verdicts instead "
+                            "of the filtered corpus")
+    sp_dc.add_argument("--num-cpus", type=int, default=None)
+
+    sp_ds = sub.add_parser(
+        "domain-stats",
+        help="pages per registrable domain, descending — the corpus "
+             "composition histogram (writes (domain, n_pages))")
+    sp_ds.add_argument("table", help="parquet file/dir with a url column")
+    sp_ds.add_argument("--url-col", default="url")
+    sp_ds.add_argument("--out", required=True)
+    sp_ds.add_argument("--num-cpus", type=int, default=None)
 
     sp_ct = sub.add_parser(
         "clean-text",
@@ -531,8 +591,70 @@ def main(argv=None) -> int:
             if owns:
                 ray.shutdown()
 
+    if args.cmd in ("domain-cap", "domain-stats"):
+        import pyarrow.dataset as pads
+        schema = pads.dataset(args.table).schema
+        need = [args.url_col] if args.cmd == "domain-stats" else \
+            [args.id_col, args.url_col] + \
+            ([args.quality_col] if args.quality_col else [])
+        for col in need:
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        import pyarrow as pa
+        if args.cmd == "domain-cap":
+            if not pa.types.is_integer(schema.field(args.id_col).type):
+                p.error("--id-col %r must be an integer column (got %s)"
+                        % (args.id_col, schema.field(args.id_col).type))
+            if args.cap < 1:
+                p.error("--cap must be >= 1")
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            from pdfextract_ray.stages import domains
+            if args.cmd == "domain-stats":
+                ds = ray.data.read_parquet(args.table,
+                                           columns=[args.url_col])
+                out_ds = domains.domain_counts(ds, url_col=args.url_col) \
+                    .sort("n_pages", descending=True)
+                out_ds.write_parquet(args.out)
+                _ensure_written(args.out, pa.schema(
+                    [pa.field("domain", pa.string()),
+                     pa.field("n_pages", pa.int64())]))
+            elif args.verdicts_only:
+                ds = ray.data.read_parquet(
+                    args.table, columns=[args.id_col, args.url_col] +
+                    ([args.quality_col] if args.quality_col else []))
+                domains.domain_cap(
+                    ds, args.cap, id_col=args.id_col,
+                    url_col=args.url_col,
+                    quality_col=args.quality_col).write_parquet(args.out)
+                _ensure_written(args.out, pa.schema(
+                    [schema.field(args.id_col),
+                     pa.field("domain", pa.string()),
+                     pa.field("keep", pa.bool_())]))
+            else:
+                ds = ray.data.read_parquet(args.table)
+                domains.domain_cap_filter(
+                    ds, args.cap, id_col=args.id_col,
+                    url_col=args.url_col,
+                    quality_col=args.quality_col).write_parquet(args.out)
+                _ensure_written(args.out, schema)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
+
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
-                    "dedup-incremental", "clean-text"):
+                    "dedup-incremental", "neardup-incremental",
+                    "clean-text"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -599,6 +721,34 @@ def main(argv=None) -> int:
                 out_ds = bloom.dedup_incremental(
                     ds, old_docs=old_docs, old_hashes=old_hashes,
                     fp_rate=args.fp_rate, verify=not args.no_verify)
+            elif args.cmd == "neardup-incremental":
+                from pdfextract_ray.stages import neardup
+                if args.sigs:
+                    old_sigs = ray.data.read_parquet(
+                        args.against, columns=["doc_id", "sig"])
+                    old_docs = None
+                else:
+                    against_schema = pads.dataset(args.against).schema
+                    for col in (args.id_col, args.text_col):
+                        if col not in against_schema.names:
+                            p.error("column %r not in --against %s "
+                                    "(has: %s)" % (col, args.against,
+                                    ", ".join(against_schema.names)))
+                    old_docs = ray.data.read_parquet(
+                        args.against, columns=[args.id_col, args.text_col])
+                    if args.id_col != "doc_id" or args.text_col != "text":
+                        old_docs = old_docs.rename_columns(
+                            {args.id_col: "doc_id", args.text_col: "text"})
+                    old_sigs = None
+                if args.write_sigs:
+                    if old_sigs is None:
+                        old_sigs = neardup.signatures(old_docs) \
+                            .materialize()
+                        old_docs = None
+                    old_sigs.write_parquet(args.write_sigs)
+                out_ds = neardup.neardup_incremental(
+                    ds, old_docs=old_docs, old_sigs=old_sigs,
+                    threshold=args.threshold)
             else:
                 from pdfextract_ray.stages.dedup import decontaminate_corpus
                 ev_schema = pads.dataset(args.eval_table).schema

@@ -253,3 +253,80 @@ def test_cli_dedup_incremental_with_snapshot_reuse(ray_session, tmp_path):
     t2 = pq.read_table(glob.glob(os.path.join(out2, "*.parquet"))) \
         .sort_by("doc_id")
     assert t2.column("keep").to_pylist() == t.column("keep").to_pylist()
+
+
+def test_cli_neardup_incremental_with_sig_snapshot(ray_session, tmp_path):
+    """neardup-incremental: near-dup (not exact) flags vs old corpus,
+    sig-snapshot write on the first delivery and --sigs reuse."""
+    import pyarrow as pa
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    old = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [base, "totally different short text here"],
+    })
+    near = base.replace("gamma", "zzz", 2)
+    new = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": [near, "fresh unrelated words entirely disjoint tokens"],
+    })
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(old, old_p)
+    pq.write_table(new, new_p)
+    out1 = str(tmp_path / "d1")
+    snap = str(tmp_path / "sigs")
+    assert main(["neardup-incremental", new_p, "--against", old_p,
+                 "--write-sigs", snap, "--out", out1]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out1, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t.column("near_dup_of_old").to_pylist() == [True, False]
+    assert t.column("matched_old_id").to_pylist()[0] == 1
+    assert t.column("keep").to_pylist() == [False, True]
+
+    out2 = str(tmp_path / "d2")
+    assert main(["neardup-incremental", new_p, "--against", snap,
+                 "--sigs", "--out", out2]) == 0
+    t2 = pq.read_table(glob.glob(os.path.join(out2, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert t2.column("keep").to_pylist() == t.column("keep").to_pylist()
+
+
+def test_cli_domain_cap_and_stats(ray_session, tmp_path):
+    import pyarrow as pa
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": ["http://a.example.com/1", "http://example.com/2",
+                "http://b.example.com/3", "http://bbc.co.uk/x",
+                "http://news.bbc.co.uk/y"],
+        "quality": pa.array([0.1, 0.9, 0.5, 0.2, 0.8], pa.float64()),
+        "text": ["t1", "t2", "t3", "t4", "t5"],
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+
+    out = str(tmp_path / "capped")
+    assert main(["domain-cap", src, "--cap", "1",
+                 "--quality-col", "quality", "--out", out]) == 0
+    kept = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))) \
+        .sort_by("doc_id")
+    # example.com best quality = id 2; bbc.co.uk best = id 5
+    assert kept.column("doc_id").to_pylist() == [2, 5]
+    assert kept.column("text").to_pylist() == ["t2", "t5"]
+
+    vout = str(tmp_path / "verdicts")
+    assert main(["domain-cap", src, "--cap", "1", "--quality-col",
+                 "quality", "--verdicts-only", "--out", vout]) == 0
+    v = pq.read_table(glob.glob(os.path.join(vout, "*.parquet"))) \
+        .sort_by("doc_id")
+    assert v.column("keep").to_pylist() == [False, True, False,
+                                            False, True]
+
+    sout = str(tmp_path / "stats")
+    assert main(["domain-stats", src, "--out", sout]) == 0
+    s = pq.read_table(glob.glob(os.path.join(sout, "*.parquet")))
+    d = dict(zip(s.column("domain").to_pylist(),
+                 s.column("n_pages").to_pylist()))
+    assert d == {"example.com": 3, "bbc.co.uk": 2}
