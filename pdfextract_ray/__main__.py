@@ -157,6 +157,12 @@ def main(argv=None) -> int:
                            "pages (case/port/fragment/tracking-param "
                            "normalization), before extraction — pages "
                            "removed here are never parsed")
+    sp_c.add_argument("--domain-cap", type=int, default=None,
+                      metavar="N",
+                      help="keep at most N distinct urls per "
+                           "registrable domain (lexicographically "
+                           "smallest; applied before extraction, after "
+                           "--url-dedup when both are given)")
 
     sub.add_parser("settings", help="list tunables")
 
@@ -425,6 +431,10 @@ def main(argv=None) -> int:
     sp_q.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "curate" and args.domain_cap is not None \
+            and args.domain_cap < 1:
+        p.error("--domain-cap must be >= 1")
 
     if args.cmd == "settings":
         from pdfextract_ray.settings import DEFAULT_SETTINGS
@@ -910,12 +920,20 @@ def main(argv=None) -> int:
                 if args.url_dedup:
                     from pdfextract_ray.stages.urls import url_dedup_filter
                     cds = url_dedup_filter(cds)
+                if args.domain_cap is not None:
+                    from pdfextract_ray.stages.domains import \
+                        domain_cap_filter_by_url
+                    cds = domain_cap_filter_by_url(cds, args.domain_cap)
             else:
                 from pdfextract_ray.pipelines.extract_pipeline import \
                     extract_dataset
                 if args.url_dedup:
                     from pdfextract_ray.stages.urls import url_dedup_filter
                     ds = url_dedup_filter(ds)
+                if args.domain_cap is not None:
+                    from pdfextract_ray.stages.domains import \
+                        domain_cap_filter_by_url
+                    ds = domain_cap_filter_by_url(ds, args.domain_cap)
                 cds = extract_dataset(ds, settings=settings,
                                       with_spans=False).select_columns(cols)
             curate = curate_exact if args.exact_only else curate_neardup

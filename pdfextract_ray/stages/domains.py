@@ -233,6 +233,79 @@ def domain_cap(docs, cap: int, id_col: str = "doc_id",
             .map_groups(verdict_shard, batch_format="pandas"))
 
 
+def domain_cap_filter_by_url(docs, cap: int, url_col: str = "url",
+                             max_broadcast: int = 2_000_000,
+                             shard_mask: int | None = None):
+    """URL-value-keyed per-domain cap for tables WITHOUT an integer id
+    (e.g. the raw page corpus before extraction): keep at most ``cap``
+    DISTINCT urls per registrable domain — the lexicographically
+    smallest, so the verdict is deterministic — and drop the rest.
+
+    Contract boundaries (same as :func:`urls.url_dedup_filter`): rows
+    sharing a byte-identical url are ONE distinct url — they survive
+    or drop together (downstream exact content dedup owns exact
+    recrawls); url-less / unparseable rows (domain == "") are never
+    capped. The drop list is the over-cap MINORITY of distinct urls:
+    broadcast ``pc.is_in`` below ``max_broadcast``, distributed
+    ``left_anti`` join above."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from pdfextract_ray.stages.dedup import _mask
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1, got %d" % cap)
+    mask = _mask(shard_mask)
+
+    def shard_batch(t: pa.Table) -> pa.Table:
+        urls = t[url_col].to_pylist()
+        doms = [registrable_domain(u) for u in urls]
+        return pa.table({
+            "shard": pa.array([zlib.crc32(d.encode("utf-8")) & mask
+                               for d in doms], pa.int64()),
+            "domain": pa.array(doms, pa.string()),
+            url_col: pa.array([u if u is not None else "" for u in urls],
+                              pa.string()),
+        })
+
+    def drops_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["domain"] != ""]
+        if len(df) == 0:
+            return pd.DataFrame({url_col: pd.Series(dtype="object")})
+        # cap counts DISTINCT urls (byte-identical rows are one page
+        # for quota purposes); rank ascending for determinism
+        d = df[["domain", url_col]].drop_duplicates() \
+            .sort_values(["domain", url_col], kind="mergesort")
+        rank = d.groupby("domain", sort=False).cumcount()
+        return d.loc[(rank >= cap).to_numpy(), [url_col]]
+
+    drops = docs.select_columns([url_col]) \
+        .map_batches(shard_batch, batch_format="pyarrow") \
+        .groupby("shard").map_groups(drops_shard, batch_format="pandas") \
+        .materialize()
+    n = drops.count()
+    if n == 0:
+        return docs
+    if n <= max_broadcast:
+        dropped = drops.to_pandas()
+        drop_ref = ray.put(pa.array(
+            sorted(dropped[url_col]) if url_col in dropped.columns
+            else [], pa.string()))
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(
+                pc.is_in(t[url_col], value_set=ray.get(drop_ref))))
+
+        return docs.map_batches(keep_batch, batch_format="pyarrow")
+    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
+                                                     join_partitions)
+    return docs.join(
+        coalesce_for_join(drops), join_type="left_anti",
+        on=(url_col,), num_partitions=join_partitions())
+
+
 def domain_cap_filter(docs, cap: int, id_col: str = "doc_id",
                       url_col: str = "url",
                       quality_col: str | None = None,

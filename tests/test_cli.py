@@ -330,3 +330,17 @@ def test_cli_domain_cap_and_stats(ray_session, tmp_path):
     d = dict(zip(s.column("domain").to_pylist(),
                  s.column("n_pages").to_pylist()))
     assert d == {"example.com": 3, "bbc.co.uk": 2}
+
+
+def test_cli_curate_domain_cap(cli_corpus, tmp_path):
+    # synthetic corpus urls are https://<source>.example.org/... — ONE
+    # registrable domain, so --domain-cap 3 keeps exactly 3 distinct
+    # urls before extraction
+    out = str(tmp_path / "capped")
+    assert main(["curate", cli_corpus, "--exact-only", "--domain-cap",
+                 "3", "--out", out]) == 0
+    t = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    assert 0 < t.num_rows <= 3
+    with pytest.raises(SystemExit):
+        main(["curate", cli_corpus, "--domain-cap", "0",
+              "--out", str(tmp_path / "bad")])

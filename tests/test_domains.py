@@ -153,3 +153,26 @@ def test_domain_counts(ray_session):
 def test_domain_cap_rejects_bad_cap(ray_session):
     with pytest.raises(ValueError):
         domain_cap(ray.data.from_arrow(_corpus()), cap=0)
+
+
+def test_domain_cap_filter_by_url(ray_session):
+    from pdfextract_ray.stages.domains import domain_cap_filter_by_url
+    t = pa.table({
+        "url": ["http://a.ex.com/1", "http://a.ex.com/1",  # same url 2x
+                "http://b.ex.com/2", "http://c.ex.com/3",
+                "http://solo.org/x", None],
+        "text": ["p1", "p1b", "p2", "p3", "p4", "p5"],
+    })
+    out = domain_cap_filter_by_url(ray.data.from_arrow(t), cap=2) \
+        .to_pandas()
+    # ex.com distinct urls sorted: a/1, b/2, c/3 -> cap 2 drops c/3;
+    # byte-identical a/1 rows survive together; null url never capped
+    assert sorted(out["text"]) == ["p1", "p1b", "p2", "p4", "p5"]
+    # forced join tier agrees
+    joined = domain_cap_filter_by_url(ray.data.from_arrow(t), cap=2,
+                                      max_broadcast=0).to_pandas()
+    assert sorted(joined["text"]) == sorted(out["text"])
+    # no-drop fast path returns the input unchanged
+    full = domain_cap_filter_by_url(ray.data.from_arrow(t), cap=10) \
+        .to_pandas()
+    assert len(full) == len(t)
