@@ -6,7 +6,9 @@ in any stage fails HERE, not in a user's pipeline):
   raw (doc_id, url, text, source)
     → clean-text            (text hygiene)
     → url dedup filter      (drop same-canonical-URL pages)
+    → domain cap            (per-registrable-domain page quota)
     → exact dedup keep-set  (Bloom incremental, self-bootstrap)
+    → near-dup vs snapshot  (MinHash LSH against the old corpus)
     → duplicate-span removal (substring-level clean)
     → decontamination scan  (external eval suite)
     → mixture sample        (target source proportions)
@@ -52,6 +54,12 @@ def test_full_curation_recipe(ray_session):
     # a doc contaminated with the eval suite + control chars
     rows.append((104, "http://b.org/z",
                  eval_text + "\x00" + _text(20, 902), "books"))
+    # a near-duplicate (2 words changed) of a doc in the OLD corpus
+    # snapshot — the incremental near-dup stage must catch it
+    old_text = _text(70, 777)
+    near = old_text.split()
+    near[5], near[40] = "qqq1", "qqq2"
+    rows.append((105, "http://fresh.io/nd", " ".join(near), "web"))
     for i in range(10):
         rows.append((200 + i, "http://code.net/%d" % i,
                      _text(40, 950 + i), "code"))
@@ -67,6 +75,16 @@ def test_full_curation_recipe(ray_session):
     cleaned = clean_documents(docs)
     # 2. URL dedup: the utm variant of doc 0 drops (min-url keeps 0's)
     by_url = url_dedup_filter(cleaned)
+    # 2b. per-domain quota: code.net has 10 pages; cap 5 keeps the
+    #     lexicographically smallest urls /0../4 (b.org's 3 pages and
+    #     every single-page site are untouched)
+    from pdfextract_ray.stages.domains import domain_cap_filter_by_url
+    capped = domain_cap_filter_by_url(by_url, cap=5)
+    capped_ids = set(capped.to_pandas()["doc_id"])
+    assert set(range(200, 205)) <= capped_ids
+    assert not capped_ids & set(range(205, 210))
+    assert {102, 103, 104, 105} <= capped_ids
+    by_url = capped
     # 3. exact dedup via the incremental op bootstrapped on itself:
     #    keep = first_in_new flags within one corpus (old side empty)
     empty = ray.data.from_arrow(pa.table({
@@ -86,6 +104,21 @@ def test_full_curation_recipe(ray_session):
                                  value_set=_ray.get(keep_ref)))
 
     exact = by_url.map_batches(keep_batch, batch_format="pyarrow")
+    # 3b. near-dup vs the OLD corpus snapshot: doc 105 (2 words off a
+    #     snapshot doc) drops; everything else survives
+    from pdfextract_ray.stages.neardup import neardup_incremental
+    old_snap = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9000], pa.int64()),
+        "text": pa.array([old_text], pa.string())}))
+    exact = exact.materialize()
+    nd = neardup_incremental(exact, old_docs=old_snap).to_pandas()
+    nd_drop = set(nd.loc[nd["near_dup_of_old"], "doc_id"])
+    assert nd_drop == {105}
+    nd_ref = _ray.put(pa.array(sorted(nd_drop), pa.int64()))
+    exact = exact.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(
+            t["doc_id"], value_set=_ray.get(nd_ref)))),
+        batch_format="pyarrow")
     # 4. substring-level span removal (16-word windows inside the
     #    24-word shared run) — doc 102 (first) keeps it, 103 loses it
     despanned = remove_duplicate_spans(
