@@ -269,9 +269,16 @@ def main(argv=None) -> int:
                        help="--against is a precomputed (doc_id, sig) "
                             "MinHash snapshot, not raw documents")
     sp_ni.add_argument("--write-sigs",
-                       help="also write the OLD side's signature "
-                            "snapshot here for reuse by the next "
-                            "delivery")
+                       help="bootstrap: convert a raw-document "
+                            "--against corpus into its (doc_id, sig) "
+                            "snapshot here (incompatible with --sigs, "
+                            "which is already a snapshot)")
+    sp_ni.add_argument("--write-new-sigs",
+                       help="also write the DELIVERY's own signature "
+                            "snapshot here; append/point it into the "
+                            "snapshot dir so the NEXT delivery dedups "
+                            "against old+this one without re-shingling "
+                            "either")
     sp_ni.add_argument("--threshold", type=float, default=0.5,
                        help="estimated-Jaccard cut (default 0.5)")
     sp_ni.add_argument("--out", required=True)
@@ -504,6 +511,12 @@ def main(argv=None) -> int:
                     % (args.id_col, schema.field(args.id_col).type))
         if args.shards < 1:
             p.error("--shards must be >= 1")
+        clash = [c for c in ("shard", "order_key") if c in schema.names]
+        if clash and not args.columns:
+            p.error("input already has column(s) %s (a previous "
+                    "shuffle-export?); re-sharding would duplicate "
+                    "them — pass --columns without these"
+                    % ", ".join(clash))
         cols = None
         if args.columns:
             cols = [c.strip() for c in args.columns.split(",") if c.strip()]
@@ -511,6 +524,10 @@ def main(argv=None) -> int:
             if bad:
                 p.error("--columns %s not in %s" % (", ".join(bad),
                                                     args.table))
+            clash = [c for c in ("shard", "order_key") if c in cols]
+            if clash:
+                p.error("--columns must not include the assignment "
+                        "column(s) %s" % ", ".join(clash))
             if args.id_col not in cols:
                 cols = [args.id_col] + cols
         import ray
@@ -529,8 +546,11 @@ def main(argv=None) -> int:
             import pyarrow as pa
             base = schema if cols is None else pa.schema(
                 [schema.field(c) for c in cols])
+            # the empty fallback must match a hive read of a non-empty
+            # export: data columns + order_key + the shard partition key
             _ensure_written(args.out, base.append(
-                pa.field("order_key", pa.int64())))
+                pa.field("order_key", pa.int64())).append(
+                pa.field("shard", pa.int32())))
             print(json.dumps({"out": args.out, "shards": args.shards,
                               "seed": args.seed, "ok": True}))
             return 0
@@ -751,14 +771,24 @@ def main(argv=None) -> int:
                             {args.id_col: "doc_id", args.text_col: "text"})
                     old_sigs = None
                 if args.write_sigs:
-                    if old_sigs is None:
-                        old_sigs = neardup.signatures(old_docs) \
-                            .materialize()
-                        old_docs = None
+                    if args.sigs:
+                        p.error("--write-sigs with --sigs would just "
+                                "copy the existing snapshot; it "
+                                "converts a raw-document --against")
+                    old_sigs = neardup.signatures(old_docs) \
+                        .materialize()
+                    old_docs = None
                     old_sigs.write_parquet(args.write_sigs)
+                new_sigs = None
+                if args.write_new_sigs:
+                    # shingle the delivery ONCE: the written snapshot
+                    # also feeds this run's banding
+                    new_sigs = neardup.signatures(ds).materialize()
+                    new_sigs.write_parquet(args.write_new_sigs)
                 out_ds = neardup.neardup_incremental(
-                    ds, old_docs=old_docs, old_sigs=old_sigs,
-                    threshold=args.threshold)
+                    new_docs=None if new_sigs is not None else ds,
+                    old_docs=old_docs, old_sigs=old_sigs,
+                    new_sigs=new_sigs, threshold=args.threshold)
             else:
                 from pdfextract_ray.stages.dedup import decontaminate_corpus
                 ev_schema = pads.dataset(args.eval_table).schema

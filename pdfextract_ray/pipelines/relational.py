@@ -109,6 +109,54 @@ def coalesce_for_join(ds: "ray.data.Dataset", n: int | None = None
                           batch_format="pyarrow").repartition(n).materialize()
 
 
+def anti_filter(docs, drops, key: str,
+                max_broadcast: int = 2_000_000):
+    """Remove from ``docs`` every row whose ``key`` value appears in
+    the single-column drop-list dataset ``drops`` — the shared two-tier
+    applier every removal op uses (url dedup, domain caps, span/para
+    drop-sets):
+
+    - **broadcast tier** (drop list fits ``max_broadcast`` rows): the
+      values are ``ray.put`` ONCE and each payload batch filters with
+      ``pc.is_in`` — no join operator, no corpus repartition, the
+      payload never shuffles;
+    - **distributed tier** (beyond the bound — at web scale a drop set
+      can be 20-50% of the corpus): a hash-partitioned ``left_anti``
+      join on ``key``; only the DERIVED drop side gets
+      :func:`coalesce_for_join` (coalescing the payload would
+      materialize the whole corpus — scanner-backed blocks always
+      carry a schema).
+
+    NULL ``key`` cells never match a drop value (``pc.is_in`` yields
+    false for null against a null-free value set), so null-keyed rows
+    always survive — the same contract at both tiers."""
+    drops = drops.materialize()
+    n = drops.count()
+    if n == 0:
+        return docs
+    if n <= max_broadcast:
+        sch = drops.schema()
+        typ = dict(zip(sch.names, sch.types))[key]
+        if not isinstance(typ, pa.DataType):
+            typ = None  # pandas-block schema (numpy dtype): let
+            # Arrow infer from the values (int64 / string in practice)
+        dropped = drops.to_pandas()
+        # Ray 2.49: to_pandas on an all-empty dataset drops the
+        # columns (n > 0 here, but a renamed/projected upstream can
+        # still surprise — fail loud rather than silently keep all)
+        vals = pa.array(sorted(dropped[key].tolist()), type=typ)
+        drop_ref = ray.put(vals)
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(
+                pc.is_in(t[key], value_set=ray.get(drop_ref))))
+
+        return docs.map_batches(keep_batch, batch_format="pyarrow")
+    return docs.join(
+        coalesce_for_join(drops), join_type="left_anti",
+        on=(key,), num_partitions=join_partitions())
+
+
 def strip_schema_metadata(t: pa.Table) -> pa.Table:
     """Drop table-level schema metadata (batch fn for map_batches).
 

@@ -26,11 +26,8 @@ two-tier pattern every removal op in this package uses.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-from pdfextract_ray.stages.urls import canonical_url
 
 # Well-known second-level public suffixes (offline PSL approximation;
 # public knowledge — the ccTLD registry conventions). When the last
@@ -115,16 +112,22 @@ def registrable_domain(url: str) -> str:
             return ""
     if not host:
         return ""
-    host = host.strip(".")
-    if not host:
-        return ""
     # IP literals: never split into labels (.hostname strips the
     # brackets off IPv6 — re-add them so the result reparses as a host)
     if ":" in host:
-        return "[%s]" % host.strip("[]")
+        return "[%s]" % host.strip().strip("[]")
+    # Normalize per LABEL: strip the exotic whitespace urlsplit
+    # preserves inside a netloc (\x0c, stray spaces) and drop labels
+    # that are empty ("a..b" → "a.b", ". 0" → "0"). Stripping whole-
+    # host only is NOT a fixed point (removing dots can expose new
+    # edge whitespace and vice versa); per-label it is, because a
+    # second pass re-splits into already-clean labels.
+    labels = [lb for lb in (x.strip() for x in host.split(".")) if lb]
+    if not labels:
+        return ""
+    host = ".".join(labels)
     if _is_ipv4(host):
         return host
-    labels = host.split(".")
     if len(labels) <= 2:
         return host
     tail2 = ".".join(labels[-2:])
@@ -150,8 +153,7 @@ def domain_batch(t: pa.Table, url_col: str = "url",
     return t.append_column(out_col, pa.array(doms, pa.string()))
 
 
-def domain_counts(docs, url_col: str = "url",
-                  shard_mask: int | None = None):
+def domain_counts(docs, url_col: str = "url"):
     """(domain, n_pages) — the domain composition histogram curation
     reports lead with. Partial-aggregated per batch before the
     groupby, so the shuffle moves one row per (block, distinct
@@ -250,9 +252,6 @@ def domain_cap_filter_by_url(docs, cap: int, url_col: str = "url",
     ``left_anti`` join above."""
     import zlib
 
-    import pyarrow.compute as pc
-    import ray
-
     from pdfextract_ray.stages.dedup import _mask
 
     if cap < 1:
@@ -281,29 +280,12 @@ def domain_cap_filter_by_url(docs, cap: int, url_col: str = "url",
         rank = d.groupby("domain", sort=False).cumcount()
         return d.loc[(rank >= cap).to_numpy(), [url_col]]
 
+    from pdfextract_ray.pipelines.relational import anti_filter
+
     drops = docs.select_columns([url_col]) \
         .map_batches(shard_batch, batch_format="pyarrow") \
-        .groupby("shard").map_groups(drops_shard, batch_format="pandas") \
-        .materialize()
-    n = drops.count()
-    if n == 0:
-        return docs
-    if n <= max_broadcast:
-        dropped = drops.to_pandas()
-        drop_ref = ray.put(pa.array(
-            sorted(dropped[url_col]) if url_col in dropped.columns
-            else [], pa.string()))
-
-        def keep_batch(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(
-                pc.is_in(t[url_col], value_set=ray.get(drop_ref))))
-
-        return docs.map_batches(keep_batch, batch_format="pyarrow")
-    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
-                                                     join_partitions)
-    return docs.join(
-        coalesce_for_join(drops), join_type="left_anti",
-        on=(url_col,), num_partitions=join_partitions())
+        .groupby("shard").map_groups(drops_shard, batch_format="pandas")
+    return anti_filter(docs, drops, url_col, max_broadcast=max_broadcast)
 
 
 def domain_cap_filter(docs, cap: int, id_col: str = "doc_id",
@@ -318,7 +300,8 @@ def domain_cap_filter(docs, cap: int, id_col: str = "doc_id",
     ``id_col``. Either way the corpus text crosses no shuffle when
     the drop rate is sane."""
     import pyarrow.compute as pc
-    import ray
+
+    from pdfextract_ray.pipelines.relational import anti_filter
 
     verdicts = domain_cap(docs, cap, id_col=id_col, url_col=url_col,
                           quality_col=quality_col,
@@ -327,24 +310,5 @@ def domain_cap_filter(docs, cap: int, id_col: str = "doc_id",
     def drops_batch(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t["keep"])).select([id_col])
 
-    drops = verdicts.map_batches(drops_batch,
-                                 batch_format="pyarrow").materialize()
-    n = drops.count()
-    if n == 0:
-        return docs
-    if n <= max_broadcast:
-        dropped = drops.to_pandas()
-        ids = (np.sort(dropped[id_col].to_numpy())
-               if id_col in dropped.columns else np.array([], np.int64))
-        drop_ref = ray.put(pa.array(ids, pa.int64()))
-
-        def keep_batch(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(
-                pc.is_in(t[id_col], value_set=ray.get(drop_ref))))
-
-        return docs.map_batches(keep_batch, batch_format="pyarrow")
-    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
-                                                     join_partitions)
-    return docs.join(
-        coalesce_for_join(drops), join_type="left_anti",
-        on=(id_col,), num_partitions=join_partitions())
+    drops = verdicts.map_batches(drops_batch, batch_format="pyarrow")
+    return anti_filter(docs, drops, id_col, max_broadcast=max_broadcast)

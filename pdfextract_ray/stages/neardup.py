@@ -22,9 +22,12 @@ new signature only against that bucket's old signatures (bounded by
 ``max_bucket`` per side, the same boilerplate-mega-bucket cap the
 batch dedup uses); and the old side can be a REUSED snapshot so a
 10^12-doc corpus is never re-shingled for a 10^8-doc delivery.
-Snapshots compose across runs: append the delivery's own signatures
-(written by :func:`signatures` / ``--write-sigs``) to the snapshot
-dir and the next delivery dedups against old+new.
+Snapshots compose across runs: ``--write-new-sigs`` writes the
+DELIVERY's own ``(doc_id, sig)`` snapshot (:func:`signatures`) into a
+subdirectory of the snapshot dir, so the next delivery dedups against
+old+new without re-shingling either. (``--write-sigs`` is the
+bootstrap flag: it converts a raw-document ``--against`` corpus into
+its signature snapshot on the first run.)
 """
 
 from __future__ import annotations
@@ -91,15 +94,17 @@ def _matches_shard(df: pd.DataFrame, threshold: float,
     return pd.concat(out, ignore_index=True)
 
 
-def neardup_matches(new_docs, old_docs=None, old_sigs=None,
+def neardup_matches(new_docs=None, old_docs=None, old_sigs=None,
                     threshold: float = 0.5, max_bucket: int = 50,
                     id_col: str = "doc_id", text_col: str = "text",
-                    shard_mask: int | None = None):
+                    shard_mask: int | None = None, new_sigs=None):
     """(new_id, old_id, est_jaccard) — the best old match per flagged
     new document (max estimate; ties to the smallest old_id, so the
-    output is deterministic). Only new docs with a match appear."""
-    from ray.data.aggregate import AggregateFn
-
+    output is deterministic). Only new docs with a match appear.
+    Either side can arrive as raw documents or as a precomputed
+    ``(doc_id, sig)`` snapshot (``new_sigs`` lets the caller shingle
+    the delivery ONCE and reuse it for both this match and the
+    snapshot it writes for the next delivery)."""
     mask = _mask(shard_mask)
 
     def side_col(v: int):
@@ -120,11 +125,18 @@ def neardup_matches(new_docs, old_docs=None, old_sigs=None,
             batch_format="pyarrow")
     else:
         raise ValueError("need old_docs or old_sigs")
-    new_bands = new_docs.map_batches(
-        lambda t: minhash_bands_batch(t, id_col=id_col,
-                                      text_col=text_col,
-                                      shard_mask=mask),
-        batch_format="pyarrow")
+    if new_sigs is not None:
+        new_bands = new_sigs.map_batches(
+            lambda t: bands_from_sig_batch(t, shard_mask=mask),
+            batch_format="pyarrow")
+    elif new_docs is not None:
+        new_bands = new_docs.map_batches(
+            lambda t: minhash_bands_batch(t, id_col=id_col,
+                                          text_col=text_col,
+                                          shard_mask=mask),
+            batch_format="pyarrow")
+    else:
+        raise ValueError("need new_docs or new_sigs")
 
     both = old_bands.map_batches(side_col(0), batch_format="pyarrow") \
         .union(new_bands.map_batches(side_col(1), batch_format="pyarrow"))
@@ -160,11 +172,11 @@ def neardup_matches(new_docs, old_docs=None, old_sigs=None,
         .groupby("gshard").map_groups(best_shard, batch_format="pandas")
 
 
-def neardup_incremental(new_docs, old_docs=None, old_sigs=None,
+def neardup_incremental(new_docs=None, old_docs=None, old_sigs=None,
                         threshold: float = 0.5, max_bucket: int = 50,
                         id_col: str = "doc_id", text_col: str = "text",
                         max_broadcast: int = 2_000_000,
-                        shard_mask: int | None = None):
+                        shard_mask: int | None = None, new_sigs=None):
     """Per-new-document verdicts: (doc_id, near_dup_of_old,
     matched_old_id, est_jaccard, keep) with keep = NOT near_dup_of_old.
     Every delivery row gets a verdict row. The match set (bounded by
@@ -174,10 +186,15 @@ def neardup_incremental(new_docs, old_docs=None, old_sigs=None,
     import ray
 
     matches = neardup_matches(
-        new_docs, old_docs=old_docs, old_sigs=old_sigs,
+        new_docs=new_docs, old_docs=old_docs, old_sigs=old_sigs,
         threshold=threshold, max_bucket=max_bucket, id_col=id_col,
-        text_col=text_col, shard_mask=shard_mask).materialize()
+        text_col=text_col, shard_mask=shard_mask,
+        new_sigs=new_sigs).materialize()
     n = matches.count()
+    # the verdict annotate only needs the delivery's id list — a sig
+    # snapshot carries it, so raw delivery text is never re-read
+    if new_docs is None:
+        new_docs, id_col = new_sigs, "doc_id"
 
     if n <= max_broadcast:
         m = matches.to_pandas()

@@ -58,6 +58,16 @@ def assign_shards(ds, shards: int, seed: int = 0, id_col: str = "doc_id"):
         raise ValueError("shards must be >= 1, got %d" % shards)
 
     def flag(t: pa.Table) -> pa.Table:
+        for c in ("shard", "order_key"):
+            if c in t.schema.names:
+                # re-sharding a previous export without dropping its
+                # assignment columns would silently produce duplicate
+                # column names (pyarrow allows them; hive partitioning
+                # and pandas readers then mangle or crash)
+                raise ValueError(
+                    "assign_shards: input already has a %r column — "
+                    "drop or rename the previous export's assignment "
+                    "columns before re-sharding" % c)
         if len(t) == 0:
             return t.append_column(
                 "shard", pa.array([], pa.int32())).append_column(

@@ -226,31 +226,8 @@ def url_dedup_filter(docs, url_col: str = "url",
     rows (null/""/unparseable → empty canonical key) are never treated
     as duplicates of each other. Use :func:`url_dedup` (id-keyed) when
     identical-URL rows must also collapse."""
-    import ray
-    import pyarrow.compute as pc
+    from pdfextract_ray.pipelines.relational import anti_filter
 
     drops = url_drop_list(docs, url_col=url_col,
-                          shard_mask=shard_mask, **kw).materialize()
-    n = drops.count()
-    if n == 0:
-        return docs
-    if n <= max_broadcast:
-        dropped = drops.to_pandas()
-        drop_ref = ray.put(pa.array(
-            sorted(dropped[url_col]) if url_col in dropped.columns
-            else [], pa.string()))
-
-        def keep_batch(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(
-                pc.is_in(t[url_col], value_set=ray.get(drop_ref))))
-
-        return docs.map_batches(keep_batch, batch_format="pyarrow")
-    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
-                                                     join_partitions)
-    # only the DERIVED drop side needs the empty-block coalesce; the
-    # payload side is left untouched (coalescing it would materialize
-    # the whole corpus — callers pass a scanner-backed Dataset whose
-    # blocks always carry a schema)
-    return docs.join(
-        coalesce_for_join(drops), join_type="left_anti",
-        on=(url_col,), num_partitions=join_partitions())
+                          shard_mask=shard_mask, **kw)
+    return anti_filter(docs, drops, url_col, max_broadcast=max_broadcast)

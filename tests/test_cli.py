@@ -293,6 +293,54 @@ def test_cli_neardup_incremental_with_sig_snapshot(ray_session, tmp_path):
     assert t2.column("keep").to_pylist() == t.column("keep").to_pylist()
 
 
+def test_cli_neardup_snapshot_composes_across_deliveries(ray_session,
+                                                         tmp_path):
+    """--write-new-sigs: delivery 1's OWN signatures land in the
+    snapshot dir, so delivery 2 near-dups against old + delivery 1
+    (the review found --write-sigs alone — which snapshots the OLD
+    side — could never achieve the documented compose workflow)."""
+    import pyarrow as pa
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    d1_text = base.replace("alpha", "qqq", 3)  # unrelated to old
+    old = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": ["totally different short text here"]})
+    d1 = pa.table({"doc_id": pa.array([10], pa.int64()),
+                   "text": [d1_text]})
+    d2 = pa.table({"doc_id": pa.array([20, 21], pa.int64()),
+                   "text": [d1_text.replace("gamma", "zzz", 2),
+                            "fresh unrelated words entirely disjoint"]})
+    old_p = str(tmp_path / "old.parquet")
+    d1_p = str(tmp_path / "d1.parquet")
+    d2_p = str(tmp_path / "d2.parquet")
+    pq.write_table(old, old_p)
+    pq.write_table(d1, d1_p)
+    pq.write_table(d2, d2_p)
+    snap = str(tmp_path / "snap")
+    # delivery 1: bootstrap the old snapshot AND append d1's own sigs
+    assert main(["neardup-incremental", d1_p, "--against", old_p,
+                 "--write-sigs", os.path.join(snap, "old"),
+                 "--write-new-sigs", os.path.join(snap, "d1"),
+                 "--out", str(tmp_path / "o1")]) == 0
+    d1_sigs = pq.read_table(
+        glob.glob(os.path.join(snap, "d1", "*.parquet")))
+    assert d1_sigs.column("doc_id").to_pylist() == [10]  # DELIVERY ids
+    # delivery 2 vs the composed snapshot: doc 20 must match d1's 10
+    assert main(["neardup-incremental", d2_p, "--against", snap,
+                 "--sigs", "--out", str(tmp_path / "o2")]) == 0
+    t = pq.read_table(glob.glob(os.path.join(
+        str(tmp_path / "o2"), "*.parquet"))).sort_by("doc_id")
+    assert t.column("near_dup_of_old").to_pylist() == [True, False]
+    assert t.column("matched_old_id").to_pylist()[0] == 10
+    # --write-sigs only converts a RAW --against (with --sigs it would
+    # just copy the snapshot)
+    with pytest.raises(SystemExit):
+        main(["neardup-incremental", d2_p, "--against", snap, "--sigs",
+              "--write-sigs", str(tmp_path / "dup"),
+              "--out", str(tmp_path / "o3")])
+
+
 def test_cli_domain_cap_and_stats(ray_session, tmp_path):
     import pyarrow as pa
 

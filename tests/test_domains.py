@@ -38,6 +38,17 @@ def test_registrable_domain_ip_literals_and_garbage():
     assert registrable_domain("http://999.1.2.3/") == "2.3"
 
 
+def test_registrable_domain_consecutive_dots_and_whitespace():
+    # review-found idempotence breaks: empty labels ("a..b" → ".b")
+    # and exotic whitespace urlsplit preserves inside a netloc
+    assert registrable_domain("a..b") == "a.b"
+    assert registrable_domain("example..com") == "example.com"
+    assert registrable_domain("http://a..b/x") == "a.b"
+    assert registrable_domain(".b") == "b"
+    assert registrable_domain("...") == ""
+    assert registrable_domain("0\x0c:") == "0"
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=40))
 def test_registrable_domain_total_and_idempotent(u):

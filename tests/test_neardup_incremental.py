@@ -84,6 +84,27 @@ def test_signature_snapshot_path_equals_recompute(ray_session, corpora,
     assert via_docs.equals(via_sigs)
 
 
+def test_new_sigs_path_equals_new_docs(ray_session, corpora):
+    """A precomputed DELIVERY snapshot (new_sigs) yields the identical
+    verdict table to banding the raw delivery text."""
+    old, new = corpora
+    via_docs = neardup_incremental(
+        new_docs=ray.data.from_arrow(new),
+        old_docs=ray.data.from_arrow(old)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    via_sigs = neardup_incremental(
+        new_sigs=signatures(ray.data.from_arrow(new)),
+        old_docs=ray.data.from_arrow(old)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert via_docs.equals(via_sigs)
+
+
+def test_neither_new_side_raises(ray_session, corpora):
+    old, _ = corpora
+    with pytest.raises(ValueError, match="new_docs or new_sigs"):
+        neardup_matches(old_docs=ray.data.from_arrow(old))
+
+
 def test_forced_join_tier_equals_broadcast(ray_session, corpora):
     old, new = corpora
     broad = neardup_incremental(ray.data.from_arrow(new),

@@ -73,6 +73,52 @@ def test_assign_shards_null_id_raises(ray_session):
         assign_shards(ray.data.from_arrow(tbl), 2, seed=0).materialize()
 
 
+def test_assign_shards_rejects_existing_assignment(ray_session):
+    import ray.data
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "shard": pa.array([0, 0], pa.int32())})
+    with pytest.raises(Exception, match="already has"):
+        assign_shards(ray.data.from_arrow(tbl), 2, seed=0).materialize()
+
+
+def test_cli_shuffle_export_rejects_reexport(ray_session, tmp_path):
+    """Re-exporting a previous export's output (it carries order_key)
+    must be an argparse error, not silent duplicate columns."""
+    from pdfextract_ray.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(_docs_table(50), src)
+    out = str(tmp_path / "out")
+    assert main(["shuffle-export", src, "--out", out, "--shards", "2"]) == 0
+    with pytest.raises(SystemExit):
+        main(["shuffle-export", out, "--out", str(tmp_path / "again"),
+              "--shards", "4"])
+    with pytest.raises(SystemExit):
+        main(["shuffle-export", out, "--out", str(tmp_path / "again"),
+              "--shards", "4", "--columns", "lang,order_key"])
+    # excluding the stale assignment columns via --columns works
+    assert main(["shuffle-export", out, "--out",
+                 str(tmp_path / "again"), "--shards", "4",
+                 "--columns", "lang"]) == 0
+
+
+def test_cli_shuffle_export_empty_input_schema(ray_session, tmp_path):
+    """The empty-export fallback file carries the SAME schema a hive
+    read of a non-empty export produces (incl. the shard key)."""
+    from pdfextract_ray.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(_docs_table(0), src)
+    out = str(tmp_path / "out")
+    assert main(["shuffle-export", src, "--out", out,
+                 "--shards", "3"]) == 0
+    back = pads.dataset(out).to_table()
+    assert back.num_rows == 0
+    assert sorted(back.column_names) == ["doc_id", "lang", "n_tokens",
+                                         "order_key", "shard"]
+
+
 def test_shuffle_export_layout_and_roundtrip(ray_session, tmp_path):
     import ray.data
 
