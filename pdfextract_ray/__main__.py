@@ -334,6 +334,22 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_pii = sub.add_parser(
+        "redact-pii",
+        help="mask emails / phone numbers / IPv4 addresses in the text "
+             "column with |||EMAIL_ADDRESS|||-style sentinel tokens "
+             "(Dolma-style PII scrub); appends n_redactions. "
+             "--stats-only writes per-doc counts instead of rewriting")
+    sp_pii.add_argument("table", help="parquet file/dir with an integer "
+                                      "id column and a text column")
+    sp_pii.add_argument("--out", required=True)
+    sp_pii.add_argument("--stats-only", action="store_true",
+                        help="write (doc_id, n_emails, n_phones, n_ips) "
+                             "instead of the redacted corpus")
+    sp_pii.add_argument("--id-col", default="doc_id")
+    sp_pii.add_argument("--text-col", default="text")
+    sp_pii.add_argument("--num-cpus", type=int, default=None)
+
     sp_ct = sub.add_parser(
         "clean-text",
         help="pre-tokenizer text hygiene over a (id, text) parquet "
@@ -684,7 +700,7 @@ def main(argv=None) -> int:
 
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
                     "dedup-incremental", "neardup-incremental",
-                    "clean-text"):
+                    "clean-text", "redact-pii"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -718,6 +734,10 @@ def main(argv=None) -> int:
                 out_ds = clean_documents(
                     ds, form="NFKC" if args.nfkc else "NFC",
                     collapse_whitespace=args.collapse_whitespace)
+            elif args.cmd == "redact-pii":
+                from pdfextract_ray.stages.pii import pii_stats, redact_pii
+                out_ds = (pii_stats(ds) if args.stats_only
+                          else redact_pii(ds))
             elif args.cmd == "dedup-spans":
                 from pdfextract_ray.stages.spans import (
                     duplicate_span_stats, remove_duplicate_spans)

@@ -800,12 +800,28 @@ def q_paragraph_dedup(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
+    """Quality signals + PII-density counts in ONE pass over the text
+    column. The PII patterns are the RE2 strings from
+    :mod:`pdfextract_ray.stages.pii` — the SAME strings the oracle SQL
+    interpolates (DuckDB embeds RE2 too), which is what makes the
+    counts hash-verifiable rather than rows-only."""
+    from pdfextract_ray.stages.pii import pii_stats_batch
     from pdfextract_ray.stages.textstats import quality_batch
+
+    def batch(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        p = pii_stats_batch(t)
+        for name in ("n_emails", "n_phones", "n_ips"):
+            q = q.append_column(name, p[name])
+        return q
+
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(quality_batch, batch_format="pyarrow")
+        .map_batches(batch, batch_format="pyarrow")
 
 
-_DOC_QUALITY_SQL = r"""
+def _doc_quality_sql() -> str:
+    from pdfextract_ray.stages.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    return r"""
 WITH w AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
@@ -820,9 +836,15 @@ SELECT doc_id,
     / CAST(length(text) AS DOUBLE) AS punct_ratio,
   CASE WHEN len(words) = 0 THEN 0.0
        ELSE list_sum(list_transform(words, x -> length(x)))
-            / CAST(len(words) AS DOUBLE) END AS mean_word_len
+            / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+  len(regexp_extract_all(text, '%s')) AS n_emails,
+  len(regexp_extract_all(text, '%s')) AS n_phones,
+  len(regexp_extract_all(text, '%s')) AS n_ips
 FROM w
-""" % stopwords_sql_list()
+""" % (stopwords_sql_list(), EMAIL_RE, PHONE_RE, IPV4_RE)
+
+
+_DOC_QUALITY_SQL = _doc_quality_sql()
 
 
 def q_top_bigrams(sf_dir: str, k: int = 50):
