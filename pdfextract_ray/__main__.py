@@ -334,6 +334,29 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_cl = sub.add_parser(
+        "clean-lines",
+        help="C4-style line cleaning: keep only lines ending in "
+             "terminal punctuation with >= --min-words words and no "
+             "'javascript' marker; appends n_lines/n_lines_kept/"
+             "n_sentences and a page keep verdict (>= --min-sentences "
+             "sentences, no 'lorem ipsum'/'{'); --drop-pages filters "
+             "to kept pages instead of annotating")
+    sp_cl.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_cl.add_argument("--out", required=True)
+    sp_cl.add_argument("--min-words", type=int, default=3,
+                       help="minimum words per kept line (default 3)")
+    sp_cl.add_argument("--min-sentences", type=int, default=5,
+                       help="minimum sentences per kept page "
+                            "(default 5)")
+    sp_cl.add_argument("--drop-pages", action="store_true",
+                       help="drop pages failing the page heuristics "
+                            "instead of carrying a keep column")
+    sp_cl.add_argument("--id-col", default="doc_id")
+    sp_cl.add_argument("--text-col", default="text")
+    sp_cl.add_argument("--num-cpus", type=int, default=None)
+
     sp_pii = sub.add_parser(
         "redact-pii",
         help="mask emails / phone numbers / IPv4 addresses in the text "
@@ -700,7 +723,7 @@ def main(argv=None) -> int:
 
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
                     "dedup-incremental", "neardup-incremental",
-                    "clean-text", "redact-pii"):
+                    "clean-text", "redact-pii", "clean-lines"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -738,6 +761,12 @@ def main(argv=None) -> int:
                 from pdfextract_ray.stages.pii import pii_stats, redact_pii
                 out_ds = (pii_stats(ds) if args.stats_only
                           else redact_pii(ds))
+            elif args.cmd == "clean-lines":
+                from pdfextract_ray.stages.lines import clean_lines
+                out_ds = clean_lines(
+                    ds, min_words=args.min_words,
+                    min_sentences=args.min_sentences,
+                    drop_pages=args.drop_pages)
             elif args.cmd == "dedup-spans":
                 from pdfextract_ray.stages.spans import (
                     duplicate_span_stats, remove_duplicate_spans)
