@@ -334,6 +334,24 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_go = sub.add_parser(
+        "gopher-filter",
+        help="Gopher quality rules (word count 50-100k, mean word "
+             "length 3-10, symbol ratio, bullet/ellipsis line "
+             "fractions, alphabetic-word fraction, stop-word "
+             "presence): keep only passing pages, or --annotate to "
+             "write per-rule verdicts instead (compose with the "
+             "doc_repetition operator for the full Gopher gate)")
+    sp_go.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_go.add_argument("--out", required=True)
+    sp_go.add_argument("--annotate", action="store_true",
+                       help="write (id, rule columns, keep) verdicts "
+                            "instead of the filtered corpus")
+    sp_go.add_argument("--id-col", default="doc_id")
+    sp_go.add_argument("--text-col", default="text")
+    sp_go.add_argument("--num-cpus", type=int, default=None)
+
     sp_cl = sub.add_parser(
         "clean-lines",
         help="C4-style line cleaning: keep only lines ending in "
@@ -723,7 +741,8 @@ def main(argv=None) -> int:
 
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
                     "dedup-incremental", "neardup-incremental",
-                    "clean-text", "redact-pii", "clean-lines"):
+                    "clean-text", "redact-pii", "clean-lines",
+                    "gopher-filter"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -767,6 +786,9 @@ def main(argv=None) -> int:
                     ds, min_words=args.min_words,
                     min_sentences=args.min_sentences,
                     drop_pages=args.drop_pages)
+            elif args.cmd == "gopher-filter":
+                from pdfextract_ray.stages.gopher import gopher_filter
+                out_ds = gopher_filter(ds, annotate=args.annotate)
             elif args.cmd == "dedup-spans":
                 from pdfextract_ray.stages.spans import (
                     duplicate_span_stats, remove_duplicate_spans)
