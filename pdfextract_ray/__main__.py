@@ -334,6 +334,25 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_bl = sub.add_parser(
+        "blocklist-filter",
+        help="drop pages containing any phrase from a user-supplied "
+             "blocklist file (C4 bad-words gate; word-boundary, "
+             "case-insensitive, one vectorized RE2 alternation scan); "
+             "--annotate writes (id, n_blocked_terms, keep) instead")
+    sp_bl.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_bl.add_argument("--words", required=True,
+                       help="newline-delimited phrase file (the list "
+                            "is a policy input; none is bundled)")
+    sp_bl.add_argument("--out", required=True)
+    sp_bl.add_argument("--annotate", action="store_true",
+                       help="write verdicts instead of the filtered "
+                            "corpus")
+    sp_bl.add_argument("--id-col", default="doc_id")
+    sp_bl.add_argument("--text-col", default="text")
+    sp_bl.add_argument("--num-cpus", type=int, default=None)
+
     sp_go = sub.add_parser(
         "gopher-filter",
         help="Gopher quality rules (word count 50-100k, mean word "
@@ -742,7 +761,7 @@ def main(argv=None) -> int:
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
                     "dedup-incremental", "neardup-incremental",
                     "clean-text", "redact-pii", "clean-lines",
-                    "gopher-filter"):
+                    "gopher-filter", "blocklist-filter"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -789,6 +808,21 @@ def main(argv=None) -> int:
             elif args.cmd == "gopher-filter":
                 from pdfextract_ray.stages.gopher import gopher_filter
                 out_ds = gopher_filter(ds, annotate=args.annotate)
+            elif args.cmd == "blocklist-filter":
+                from pdfextract_ray.stages.blocklist import \
+                    blocklist_filter
+                try:
+                    with open(args.words, encoding="utf-8") as f:
+                        phrases = [ln.strip() for ln in f
+                                   if ln.strip()]
+                except OSError as e:
+                    p.error("cannot read --words %s: %s"
+                            % (args.words, e))
+                if not phrases:
+                    p.error("--words file %s has no phrases"
+                            % args.words)
+                out_ds = blocklist_filter(ds, phrases,
+                                          annotate=args.annotate)
             elif args.cmd == "dedup-spans":
                 from pdfextract_ray.stages.spans import (
                     duplicate_span_stats, remove_duplicate_spans)

@@ -5,6 +5,8 @@ in any stage fails HERE, not in a user's pipeline):
 
   raw (doc_id, url, text, source)
     → clean-text            (text hygiene)
+    → redact-pii            (mask scrub; audited no-op here)
+    → clean-lines / gopher  (C4 + Gopher quality verdicts)
     → url dedup filter      (drop same-canonical-URL pages)
     → domain cap            (per-registrable-domain page quota)
     → exact dedup keep-set  (Bloom incremental, self-bootstrap)
@@ -63,6 +65,15 @@ def test_full_curation_recipe(ray_session):
     for i in range(10):
         rows.append((200 + i, "http://code.net/%d" % i,
                      _text(40, 950 + i), "code"))
+    # one genuinely high-quality English page: the ONLY doc that
+    # passes the C4 line rules AND the Gopher gate below
+    good = ("The old stone house stands near the river and the trees. "
+            "It has been there for many years with little change. "
+            "People walk past it every day and admire the view. "
+            "That quiet road leads to the market in the town. "
+            "Everyone agrees that the place has a calm beauty. "
+            "The seasons come and go but the walls have stayed strong.")
+    rows.append((300, "http://prose.example/good", good, "web"))
 
     docs = ray.data.from_arrow(pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -73,6 +84,26 @@ def test_full_curation_recipe(ray_session):
 
     # 1. hygiene: control chars vanish, other columns ride through
     cleaned = clean_documents(docs)
+    # 1b. PII scrub composes in the same pass shape; nothing planted,
+    #     so it must be an audited no-op (then drop the audit column)
+    from pdfextract_ray.stages.pii import redact_pii
+    scrubbed = redact_pii(cleaned).materialize()
+    assert (scrubbed.to_pandas()["n_redactions"] == 0).all()
+    cleaned = scrubbed.map_batches(
+        lambda t: t.drop_columns(["n_redactions"]),
+        batch_format="pyarrow")
+    # 1c. quality verdict stages: only the planted prose page passes
+    #     the C4 line rules and the Gopher gate (run as annotators
+    #     here — the synthetic corpus would otherwise empty out)
+    from pdfextract_ray.stages.gopher import gopher_filter
+    from pdfextract_ray.stages.lines import clean_lines
+    lv = clean_lines(cleaned).to_pandas().set_index("doc_id")
+    assert bool(lv.loc[300, "keep"])
+    assert not lv.drop(index=300)["keep"].any()
+    gv = gopher_filter(cleaned, annotate=True).to_pandas() \
+        .set_index("doc_id")
+    assert bool(gv.loc[300, "keep"])
+    assert not gv.drop(index=300)["keep"].any()
     # 2. URL dedup: the utm variant of doc 0 drops (min-url keeps 0's)
     by_url = url_dedup_filter(cleaned)
     # 2b. per-domain quota: code.net has 10 pages; cap 5 keeps the
