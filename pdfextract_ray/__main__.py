@@ -334,6 +334,28 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_dl = sub.add_parser(
+        "dedup-lines",
+        help="cross-document LINE dedup (CCNet boilerplate removal): "
+             "remove every line whose whitespace/case-normalized form "
+             "occurs >= --min-count times across the corpus (keeps "
+             "the global first copy; --drop-all removes every copy); "
+             "catches nav/footer lines too short for the 16-word "
+             "window ops; writes (doc_id, clean_text, n_lines, "
+             "n_removed)")
+    sp_dl.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_dl.add_argument("--out", required=True)
+    sp_dl.add_argument("--min-count", type=int, default=2,
+                       help="occurrences across the corpus at which a "
+                            "line counts as duplicate (default 2)")
+    sp_dl.add_argument("--drop-all", action="store_true",
+                       help="remove ALL copies of a duplicate line "
+                            "(default keeps the global first)")
+    sp_dl.add_argument("--id-col", default="doc_id")
+    sp_dl.add_argument("--text-col", default="text")
+    sp_dl.add_argument("--num-cpus", type=int, default=None)
+
     sp_bl = sub.add_parser(
         "blocklist-filter",
         help="drop pages containing any phrase from a user-supplied "
@@ -761,7 +783,8 @@ def main(argv=None) -> int:
     if args.cmd in ("dedup-paragraphs", "decontaminate", "dedup-spans",
                     "dedup-incremental", "neardup-incremental",
                     "clean-text", "redact-pii", "clean-lines",
-                    "gopher-filter", "blocklist-filter"):
+                    "gopher-filter", "blocklist-filter",
+                    "dedup-lines"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):
@@ -808,6 +831,12 @@ def main(argv=None) -> int:
             elif args.cmd == "gopher-filter":
                 from pdfextract_ray.stages.gopher import gopher_filter
                 out_ds = gopher_filter(ds, annotate=args.annotate)
+            elif args.cmd == "dedup-lines":
+                from pdfextract_ray.stages.linededup import \
+                    remove_duplicate_lines
+                out_ds = remove_duplicate_lines(
+                    ds, min_count=args.min_count,
+                    keep_first=not args.drop_all)
             elif args.cmd == "blocklist-filter":
                 from pdfextract_ray.stages.blocklist import \
                     blocklist_filter
