@@ -785,6 +785,9 @@ def main(argv=None) -> int:
                     "clean-text", "redact-pii", "clean-lines",
                     "gopher-filter", "blocklist-filter",
                     "dedup-lines"):
+        if args.cmd == "dedup-lines" and args.min_count < 2:
+            p.error("--min-count must be >= 2 (a line occurring once "
+                    "is not a duplicate)")
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         for col in (args.id_col, args.text_col):

@@ -96,9 +96,8 @@ def blocklist_filter(docs, phrases, text_col: str = "text",
             batch_format="pyarrow")
 
     def keep_batch(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t[text_col])
-        n = pc.fill_null(pc.cast(
-            pc.count_substring_regex(low, pattern), pa.int64()), 0)
-        return t.filter(pc.equal(n, 0))
+        v = blocklist_verdicts_batch(t, pattern, text_col=text_col,
+                                     id_col=id_col)
+        return t.filter(v["keep"])
 
     return docs.map_batches(keep_batch, batch_format="pyarrow")

@@ -904,6 +904,49 @@ def attach_mapside(docs, lists_ds, col: str, finish_fn):
         batch_format="pyarrow", concurrency=(1, 8), batch_size=256)
 
 
+def occurrence_lists_tail(docs, occ, col: str, rebuild_fn, to_items):
+    """The SHARED tail of every occurrence-removal op
+    (``remove_duplicate_paragraphs`` / ``spans.remove_duplicate_spans``
+    / ``linededup.remove_duplicate_lines``): per-doc comma-joined
+    occurrence STRINGS (Arrow's hash join rejects list-typed payload
+    columns) → empty-bypass (a fully empty map_groups output yields
+    schema-less blocks the hash join cannot resolve the key against)
+    → map-side attach when the duplicate minority is bounded → ONE
+    ``left_outer`` join otherwise → per-doc rebuild.
+
+    ``to_items(df)`` returns a DataFrame with ``doc_id`` and a string
+    ``item`` column in final within-doc order; the Ray-version-
+    specific workarounds live HERE, once, instead of in three copies.
+    """
+    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
+                                                     join_partitions)
+
+    def to_lists(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             col: pa.array([], pa.string())})
+        d = to_items(df)
+        g = d.groupby("doc_id", sort=False)["item"] \
+            .agg(",".join).reset_index()
+        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                         col: pa.array(g["item"], pa.string())})
+
+    lists = occ.groupby("doc_id") \
+        .map_groups(to_lists, batch_format="pandas").materialize()
+    n = lists.count()
+    if n == 0:
+        def passthrough(t: pa.Table) -> pa.Table:
+            return rebuild_fn(t.append_column(
+                col, pa.array([None] * len(t), pa.string())))
+        return docs.map_batches(passthrough, batch_format="pyarrow")
+    if mapside_fits(lists, n):
+        return attach_mapside(docs, lists, col, rebuild_fn)
+    joined = coalesce_for_join(docs, n=join_partitions()).join(
+        coalesce_for_join(lists), join_type="left_outer",
+        on=("doc_id",), num_partitions=join_partitions())
+    return joined.map_batches(rebuild_fn, batch_format="pyarrow")
+
+
 def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
     """C4-style span REMOVAL over a (doc_id, text) Dataset: every
     occurrence of a 16-word window except its global first (ordered by
@@ -916,13 +959,9 @@ def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
     (groupby over the duplicate minority) → hash join back to
     documents (text moves through exactly ONE shuffle, and only here)
     → vectorless per-doc rebuild. Docs with no drops pass through the
-    left join with a null drop-list."""
+    left join with a null drop-list. The tier plumbing is the shared
+    :func:`occurrence_lists_tail`."""
     import functools
-
-    import pyarrow.compute as pc
-    import ray.data
-    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
-                                                     join_partitions)
 
     mask = _mask(shard_mask)
     exploded = docs.map_batches(
@@ -931,40 +970,13 @@ def remove_duplicate_paragraphs(docs, shard_mask: int | None = None):
     drops = exploded.groupby("shard") \
         .map_groups(paragraph_drops_shard, batch_format="pandas")
 
-    # the drop-list rides the join as a comma-joined STRING, not
-    # list<int64>: Arrow's hash join (Ray 2.49's join operator) rejects
-    # list-typed non-key payload columns outright
-    def to_lists(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "dropped": pa.array([], pa.string())})
-        g = df.sort_values("widx").groupby("doc_id", sort=False)["widx"] \
-            .agg(lambda s: ",".join(map(str, s))).reset_index()
-        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
-                         "dropped": pa.array(g["widx"], pa.string())})
+    def to_items(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("widx")
+        return pd.DataFrame({"doc_id": d["doc_id"],
+                             "item": d["widx"].astype(str)})
 
-    drop_lists = drops.groupby("doc_id") \
-        .map_groups(to_lists, batch_format="pandas").materialize()
-    n_drop_docs = drop_lists.count()
-    if n_drop_docs == 0:
-        # no duplicates anywhere: bypass the join — a FULLY empty
-        # map_groups output yields schema-less blocks Ray 2.49's hash
-        # join cannot resolve the key against, even after coalescing
-        # (same guard as curate_neardup's dropped==0 path)
-        def passthrough(t: pa.Table) -> pa.Table:
-            return _rebuild_clean_batch(t.append_column(
-                "dropped", pa.array([None] * len(t), pa.string())))
-        return docs.map_batches(passthrough, batch_format="pyarrow")
-    if mapside_fits(drop_lists, n_drop_docs):
-        # map-side tier: drop-lists are the duplicate minority — see
-        # attach_mapside (skips the join's fixed cost + the corpus
-        # repartition its empty-block guard required)
-        return attach_mapside(docs, drop_lists, "dropped",
-                              _rebuild_clean_batch)
-    joined = coalesce_for_join(docs, n=join_partitions()).join(
-        coalesce_for_join(drop_lists), join_type="left_outer",
-        on=("doc_id",), num_partitions=join_partitions())
-    return joined.map_batches(_rebuild_clean_batch, batch_format="pyarrow")
+    return occurrence_lists_tail(docs, drops, "dropped",
+                                 _rebuild_clean_batch, to_items)
 
 
 def decontaminate_corpus(docs, eval_ds):

@@ -28,10 +28,13 @@ Pinned semantics (tests assert these):
   lines byte-identical to the originals (case and inner whitespace
   preserved — only the KEY is normalized), joined with ``"\\n"``.
 
-Hash: 64-bit per line (two independent crc32 halves) — the same
-birthday-collision budget reasoning that moved ``dedup-spans`` to 64
-bits: at 10^11 distinct corpus lines a 32-bit key collides
-constantly, silently deleting innocent lines.
+Hash: 63 bits of an md5 digest per line — the same birthday-collision
+budget reasoning that moved ``dedup-spans`` to 64 bits: at 10^11
+distinct corpus lines a 32-bit key collides constantly, silently
+deleting innocent lines. (NOT two crc32 halves: ``crc32(b + suffix)``
+is a deterministic function of ``crc32(b)`` — CRC is a 32-bit running
+state — so a crc-pair "64-bit" key still has only 32 bits of entropy;
+a review pass caught exactly that construction here.)
 
 Distributed plan (identical shape to ``remove_duplicate_paragraphs``,
 whose helpers it reuses): indexed int explode → hash-shard groups
@@ -43,13 +46,12 @@ join (the only text shuffle) → per-doc rebuild.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import pandas as pd
 import pyarrow as pa
 
-from pdfextract_ray.stages.dedup import (_mask, attach_mapside,
-                                         mapside_fits)
+from pdfextract_ray.stages.dedup import _mask, occurrence_lists_tail
 from pdfextract_ray.stages.textstats import ascii_words
 
 
@@ -61,8 +63,9 @@ def line_key_hashes(text: str) -> list:
         if not words:
             continue
         b = " ".join(words).encode("utf-8")
-        # 63-bit key (top crc bit masked) so it fits signed int64
-        h = ((zlib.crc32(b) & 0x7FFFFFFF) << 32) | zlib.crc32(b + b"#")
+        # 63-bit md5 truncation (fits signed int64); see module
+        # docstring for why a crc32 pair is NOT a 64-bit key
+        h = int.from_bytes(hashlib.md5(b).digest()[:8], "big") >> 1
         out.append((i, h))
     return out
 
@@ -143,9 +146,6 @@ def remove_duplicate_lines(docs, min_count: int = 2,
     docstring for the pinned semantics and the distributed plan."""
     import functools
 
-    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
-                                                     join_partitions)
-
     if min_count < 2:
         raise ValueError("min_count must be >= 2, got %d" % min_count)
     mask = _mask(shard_mask)
@@ -157,32 +157,10 @@ def remove_duplicate_lines(docs, min_count: int = 2,
                           keep_first=keep_first),
         batch_format="pandas")
 
-    # comma-joined string, not list<int64>: Arrow's hash join rejects
-    # list-typed payload columns (same trap as the paragraph variant)
-    def to_lists(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "dropped": pa.array([], pa.string())})
-        g = df.sort_values("lidx").groupby("doc_id", sort=False)["lidx"] \
-            .agg(lambda s: ",".join(map(str, s))).reset_index()
-        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
-                         "dropped": pa.array(g["lidx"], pa.string())})
+    def to_items(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("lidx")
+        return pd.DataFrame({"doc_id": d["doc_id"],
+                             "item": d["lidx"].astype(str)})
 
-    drop_lists = drops.groupby("doc_id") \
-        .map_groups(to_lists, batch_format="pandas").materialize()
-    n_drop_docs = drop_lists.count()
-    if n_drop_docs == 0:
-        # bypass the join: a fully empty map_groups output yields
-        # schema-less blocks the hash join cannot resolve against
-        def passthrough(t: pa.Table) -> pa.Table:
-            return _rebuild_lines_batch(t.append_column(
-                "dropped", pa.array([None] * len(t), pa.string())))
-        return docs.map_batches(passthrough, batch_format="pyarrow")
-    if mapside_fits(drop_lists, n_drop_docs):
-        return attach_mapside(docs, drop_lists, "dropped",
-                              _rebuild_lines_batch)
-    joined = coalesce_for_join(docs, n=join_partitions()).join(
-        coalesce_for_join(drop_lists), join_type="left_outer",
-        on=("doc_id",), num_partitions=join_partitions())
-    return joined.map_batches(_rebuild_lines_batch,
-                              batch_format="pyarrow")
+    return occurrence_lists_tail(docs, drops, "dropped",
+                                 _rebuild_lines_batch, to_items)

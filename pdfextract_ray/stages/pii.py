@@ -52,8 +52,14 @@ IPV4_RE = (
     r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
     r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
 )
+# Leading anchoring is per-alternative because RE2 has no lookbehind
+# and \b cannot sit before '+'/'(': a '+1 ' or '(' start needs no
+# boundary, a bare digit start takes \b — otherwise the pattern would
+# match MID-digit-run and mask the tail of separator-formatted ids
+# ("serial 12345-678-9012" → "serial 12|||...|||").
 PHONE_RE = (
-    r"(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+    r"(?:\+1[-. ]|\b1[-. ])?"
+    r"(?:\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b"
 )
 
 # Dolma's public masking convention.
@@ -91,24 +97,16 @@ def redact_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     can audit masking density without re-scanning."""
     text = t[text_col]
     total = None
-    for pattern, _ in _REDACT_CHAIN:
+    for pattern, token in _REDACT_CHAIN:
         n = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
         total = n if total is None else pc.add(total, n)
         # count BEFORE each replace: a sentinel token never re-matches
         # a later pattern (no digits/@ in the tokens), but counting
         # first keeps the audit column independent of token content
-        text = pc.replace_substring_regex(
-            text, pattern, _token_for(pattern))
+        text = pc.replace_substring_regex(text, pattern, token)
     idx = t.schema.get_field_index(text_col)
     out = t.set_column(idx, text_col, text)
     return out.append_column("n_redactions", total)
-
-
-def _token_for(pattern: str) -> str:
-    for p, tok in _REDACT_CHAIN:
-        if p == pattern:
-            return tok
-    raise KeyError(pattern)
 
 
 def pii_stats(docs, text_col: str = "text", id_col: str = "doc_id"):

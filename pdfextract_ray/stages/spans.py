@@ -271,12 +271,9 @@ def remove_duplicate_spans(docs, window: int = SPAN_WINDOW,
     Distributed plan (the remove_duplicate_paragraphs skeleton with
     keep/drop flags instead of drops-only): indexed explode (ints) →
     hash-shard groups emit flagged duplicated occurrences → per-doc
-    occurrence lists (strings — Arrow's hash join rejects list-typed
-    payloads) → ONE left-outer join back to documents → per-doc
-    coverage-mask rebuild."""
-    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
-                                                     join_partitions)
-
+    occurrence lists → shared tier tail
+    (:func:`dedup.occurrence_lists_tail`: empty-bypass / map-side
+    attach / ONE left-outer join) → per-doc coverage-mask rebuild."""
     mask = _mask(shard_mask)
     exploded = docs.map_batches(
         functools.partial(span_explode_batch, window=window,
@@ -285,37 +282,12 @@ def remove_duplicate_spans(docs, window: int = SPAN_WINDOW,
     dups = exploded.groupby("shard") \
         .map_groups(dup_occurrences_shard, batch_format="pandas")
 
-    def to_lists(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "occs": pa.array([], pa.string())})
+    def to_items(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values("widx")
-        d["item"] = d["widx"].astype(str) + ":" + d["keep"].astype(str)
-        g = d.groupby("doc_id", sort=False)["item"] \
-            .agg(",".join).reset_index()
-        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
-                         "occs": pa.array(g["item"], pa.string())})
+        return pd.DataFrame({
+            "doc_id": d["doc_id"],
+            "item": d["widx"].astype(str) + ":" + d["keep"].astype(str)})
 
-    occ_lists = dups.groupby("doc_id") \
-        .map_groups(to_lists, batch_format="pandas").materialize()
     rebuild = functools.partial(_rebuild_span_batch, window=window)
-    n_occ_docs = occ_lists.count()
-    if n_occ_docs == 0:
-        # no duplicates anywhere: bypass the join (a fully empty
-        # map_groups output yields schema-less blocks Ray 2.49's hash
-        # join cannot resolve the key against — same guard as
-        # remove_duplicate_paragraphs)
-        def passthrough(t: pa.Table) -> pa.Table:
-            return rebuild(t.append_column(
-                "occs", pa.array([None] * len(t), pa.string())))
-        return docs.map_batches(passthrough, batch_format="pyarrow")
-    if D.mapside_fits(occ_lists, n_occ_docs):
-        # map-side tier: the occurrence lists are the duplicate
-        # minority — plasma refs + one per-actor dict beat a
-        # corpus×minority left_outer join (each Ray 2.49 join operator
-        # costs ~1-2 s fixed; see queries._pair_text_join tier 1)
-        return D.attach_mapside(docs, occ_lists, "occs", rebuild)
-    joined = coalesce_for_join(docs, n=join_partitions()).join(
-        coalesce_for_join(occ_lists), join_type="left_outer",
-        on=("doc_id",), num_partitions=join_partitions())
-    return joined.map_batches(rebuild, batch_format="pyarrow")
+    return D.occurrence_lists_tail(docs, dups, "occs", rebuild,
+                                   to_items)

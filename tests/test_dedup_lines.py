@@ -82,11 +82,11 @@ def test_no_duplicates_passthrough(ray_session):
 
 
 def test_forced_join_tier_equals_mapside(ray_session, monkeypatch):
-    import pdfextract_ray.stages.linededup as m
+    import pdfextract_ray.stages.dedup as d  # the shared tier tail
 
     docs = ["Unique body %d.\n%s" % (i, FOOTER) for i in range(6)]
     a = _run(docs)
-    monkeypatch.setattr(m, "mapside_fits", lambda *_: False)
+    monkeypatch.setattr(d, "mapside_fits", lambda *_: False)
     b = _run(docs)
     for col in ("doc_id", "clean_text", "n_lines", "n_removed"):
         assert list(a[col]) == list(b[col]), col

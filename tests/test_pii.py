@@ -48,6 +48,16 @@ def test_phone_pattern_requires_separators():
     assert n[:4] == [1, 1, 1, 0]
 
 
+def test_phone_pattern_never_starts_mid_digit_run():
+    # review-found over-match: without a leading boundary the pattern
+    # matched '345-678-9012' INSIDE a serial number and masked its tail
+    t = _t(["serial 12345-678-9012 intact", "call 1 555-867-5309 ok"])
+    out = redact_batch(t)
+    assert out["text"].to_pylist()[0] == "serial 12345-678-9012 intact"
+    assert out["n_redactions"].to_pylist()[0] == 0
+    assert PHONE_TOKEN in out["text"].to_pylist()[1]
+
+
 def test_redact_masks_and_counts():
     t = _t(["mail a@b.cd from 10.0.0.1 or dial 555-867-5309",
             "clean text", None])
