@@ -510,9 +510,11 @@ def main(argv=None) -> int:
              "(row-group stats prune whole groups)")
     sp_f.add_argument("table", help="parquet file/dir")
     sp_f.add_argument("--where", required=True,
-                      help="e.g. \"lang == 'en' and n_tokens >= 100\"; "
+                      help="e.g. \"lang == 'en' and n_tokens >= 100\" "
+                           "or \"url not matches '/tag/|/search'\"; "
                            "ops: == != < <= > >=, in (..), is [not] "
-                           "null, and/or/not, parentheses")
+                           "null, [not] matches 'regex' (RE2), "
+                           "and/or/not, parentheses")
     sp_f.add_argument("--columns", default=None,
                       help="comma-separated projection (default: all "
                            "columns)")

@@ -19,6 +19,7 @@ never ``eval``:
     cmp     := "(" expr ")"
              | ident "is" ["not"] "null"
              | ident ["not"] "in" "(" literal ("," literal)* ")"
+             | ident ["not"] "matches" "'regex'"
              | ident op literal
     op      := "==" | "!=" | "<=" | ">=" | "<" | ">"
     literal := int | float | "'str'" | '"str"' | true | false
@@ -31,12 +32,20 @@ keep nulls), and only ``is null`` / ``is not null`` test nullness.
 SQL three-valued logic (e.g. ``not (lang == 'en')`` drops NULL langs:
 the inner null propagates through NOT, and a null predicate never
 matches).
+
+``matches`` is an unanchored RE2 regex search over a string column
+(``url matches '/tag/|/search\\?'`` — the URL-pattern filter every
+crawl-curation recipe needs), validated against the RE2 engine at
+parse time so a bad pattern is a CLI error, not a mid-scan task
+failure. NULL cells match neither ``matches`` nor ``not matches``
+(the null propagates and a null predicate never keeps a row).
 """
 
 from __future__ import annotations
 
 import re
 
+import pyarrow as pa
 import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r"""
@@ -51,7 +60,8 @@ _TOKEN_RE = re.compile(r"""
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""", re.VERBOSE)
 
-_KEYWORDS = {"and", "or", "not", "in", "is", "null", "true", "false"}
+_KEYWORDS = {"and", "or", "not", "in", "is", "null", "true", "false",
+             "matches"}
 
 
 class PredicateError(ValueError):
@@ -87,6 +97,9 @@ class _Parser:
         self.toks = _tokenize(s)
         self.i = 0
         self.columns: set[str] = set()
+        # columns used with 'matches' — filter_read type-checks these
+        # against the schema (the regex kernel only exists for strings)
+        self.regex_columns: set[str] = set()
 
     def _peek(self) -> str | None:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
@@ -145,6 +158,23 @@ class _Parser:
             return False
         raise PredicateError("expected a literal, got %r" % text)
 
+    def _matches_expr(self, f):
+        k, text = self._next()
+        if k != "str":
+            raise PredicateError("'matches' takes a quoted regex, "
+                                 "got %r" % text)
+        pattern = _unquote(text)
+        try:
+            # validate against the ACTUAL engine (RE2) so a bad
+            # pattern fails at parse time, not inside a scan task;
+            # must be a NON-empty array — the kernel short-circuits
+            # empty input without ever compiling the pattern
+            pc.match_substring_regex(pa.array([""], pa.string()),
+                                     pattern)
+        except Exception as e:
+            raise PredicateError("invalid regex %r: %s" % (pattern, e))
+        return pc.match_substring_regex(f, pattern)
+
     def _in_list(self) -> list:
         self._expect("lparen")
         vals = [self._literal()]
@@ -178,15 +208,24 @@ class _Parser:
             return f.is_valid() if negate else ~f.is_valid()
         if k2 == "not":
             nk, nt = self._next()
+            if nk == "matches":
+                self.regex_columns.add(text)
+                # match_substring_regex propagates NULL (unlike is_in),
+                # so the Kleene ~ alone already drops null rows — no
+                # is_valid conjunction needed here
+                return ~self._matches_expr(f)
             if nk != "in":
-                raise PredicateError("expected 'in' after 'not', got %r"
-                                     % nt)
+                raise PredicateError("expected 'in' or 'matches' "
+                                     "after 'not', got %r" % nt)
             # pyarrow's is_in maps NULL → false, so a bare ~isin would
             # KEEP null rows; conjoin is_valid to match SQL NOT IN
             # (null never satisfies it)
             return f.is_valid() & ~f.isin(self._in_list())
         if k2 == "in":
             return f.isin(self._in_list())
+        if k2 == "matches":
+            self.regex_columns.add(text)
+            return self._matches_expr(f)
         if k2 == "op":
             lit = self._literal()
             return {"==": f.__eq__, "!=": f.__ne__, "<": f.__lt__,
@@ -195,11 +234,15 @@ class _Parser:
                              % (text, t2))
 
 
-def parse_predicate(where: str):
+def parse_predicate(where: str, _parser_out: list | None = None):
     """Compile ``where`` to a pyarrow expression. Returns
-    ``(expression, referenced_column_names)``."""
+    ``(expression, referenced_column_names)``. ``_parser_out``, when
+    given, receives the parser instance (filter_read uses it to
+    type-check regex columns against the schema)."""
     p = _Parser(where)
     expr = p.parse()
+    if _parser_out is not None:
+        _parser_out.append(p)
     return expr, sorted(p.columns)
 
 
@@ -210,13 +253,19 @@ def filter_read(paths, where: str, columns: list[str] | None = None):
     import pyarrow.dataset as pads
     import ray.data
 
-    expr, used = parse_predicate(where)
+    pout: list = []
+    expr, used = parse_predicate(where, _parser_out=pout)
     schema = pads.dataset(paths).schema
     missing = [c for c in used if c not in schema.names]
     if missing:
         raise PredicateError(
             "predicate references column(s) %s not in the table (has: %s)"
             % (", ".join(missing), ", ".join(schema.names)))
+    for c in sorted(pout[0].regex_columns):
+        typ = schema.field(c).type
+        if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
+            raise PredicateError(
+                "'matches' needs a string column; %r is %s" % (c, typ))
     if columns:
         bad = [c for c in columns if c not in schema.names]
         if bad:

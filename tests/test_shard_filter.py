@@ -190,6 +190,69 @@ def test_parse_predicate_ops():
     assert used == ["lang", "n"]
 
 
+def test_parse_predicate_matches():
+    from pdfextract_ray.stages.filters import (PredicateError,
+                                               parse_predicate)
+
+    tbl = pa.table({
+        "url": pa.array(["http://a.com/tag/x", "http://b.com/page",
+                         None, "http://c.com/search?q=1"]),
+        "n": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    cases = {
+        r"url matches '/tag/'": [0],
+        r"url matches '/tag/|/search\?'": [0, 3],
+        # NULL matches neither polarity (nulls drop both ways)
+        r"url not matches '/tag/'": [1, 3],
+        r"url matches 'TAG'": [],
+        r"not (url matches '/tag/')": [1, 3],
+    }
+    for where, expect in cases.items():
+        expr, _ = parse_predicate(where)
+        assert tbl.filter(expr)["n"].to_pylist() == expect, where
+    # a bad pattern is a parse-time error, not a scan-task failure
+    with pytest.raises(PredicateError, match="invalid regex"):
+        parse_predicate("url matches '('")
+    with pytest.raises(PredicateError, match="quoted regex"):
+        parse_predicate("url matches 5")
+
+
+def test_filter_read_matches_type_check(ray_session, tmp_path):
+    from pdfextract_ray.stages.filters import PredicateError, filter_read
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(_docs_table(20), src)
+    # regex on an int column is a clean CLI-level error, not an
+    # ArrowNotImplementedError from inside a scan task
+    with pytest.raises(PredicateError, match="string column"):
+        filter_read(src, "doc_id matches '1'")
+    assert filter_read(src, "lang matches '^e'").count() > 0
+
+
+def test_cli_filter_matches_regex_duckdb_parity(ray_session, tmp_path):
+    import duckdb
+
+    from pdfextract_ray.__main__ import main
+
+    n = 300
+    urls = ["http://site%d.com/%s" % (i, ["page", "tag/x", "search?q=1"]
+            [i % 3]) for i in range(n)]
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "url": pa.array(urls, pa.string())})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "kept")
+    assert main(["filter", src, "--where",
+                 r"url not matches '/tag/|/search\?'",
+                 "--out", out]) == 0
+    got = sorted(pads.dataset(out).to_table()["doc_id"].to_pylist())
+    want = sorted(duckdb.sql(
+        r"SELECT doc_id FROM read_parquet('%s') "
+        r"WHERE NOT regexp_matches(url, '/tag/|/search\?')" % src
+    ).fetchdf()["doc_id"])
+    assert got == list(want)
+
+
 def test_parse_predicate_errors():
     from pdfextract_ray.stages.filters import PredicateError, parse_predicate
 
