@@ -334,6 +334,20 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_sw = sub.add_parser(
+        "soft-dedup",
+        help="SoftDeDup sampling weights instead of removal: every "
+             "document gets weight = 1/n_copies over its byte-exact "
+             "text duplicate set (unique docs weight 1.0), so "
+             "weighted sampling sees each distinct text with equal "
+             "total mass; writes (doc_id, n_copies, weight)")
+    sp_sw.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_sw.add_argument("--out", required=True)
+    sp_sw.add_argument("--id-col", default="doc_id")
+    sp_sw.add_argument("--text-col", default="text")
+    sp_sw.add_argument("--num-cpus", type=int, default=None)
+
     sp_dl = sub.add_parser(
         "dedup-lines",
         help="cross-document LINE dedup (CCNet boilerplate removal): "
@@ -786,7 +800,7 @@ def main(argv=None) -> int:
                     "dedup-incremental", "neardup-incremental",
                     "clean-text", "redact-pii", "clean-lines",
                     "gopher-filter", "blocklist-filter",
-                    "dedup-lines"):
+                    "dedup-lines", "soft-dedup"):
         if args.cmd == "dedup-lines" and args.min_count < 2:
             p.error("--min-count must be >= 2 (a line occurring once "
                     "is not a duplicate)")
@@ -842,6 +856,10 @@ def main(argv=None) -> int:
                 out_ds = remove_duplicate_lines(
                     ds, min_count=args.min_count,
                     keep_first=not args.drop_all)
+            elif args.cmd == "soft-dedup":
+                from pdfextract_ray.stages.assemble import \
+                    soft_dedup_weights
+                out_ds = soft_dedup_weights(ds)
             elif args.cmd == "blocklist-filter":
                 from pdfextract_ray.stages.blocklist import \
                     blocklist_filter

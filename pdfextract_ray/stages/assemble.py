@@ -9,6 +9,17 @@ group documents into fixed-token-budget shards for the trainer:
   groupby, a driver-side rate computation over |sources| rows (a
   handful — never corpus-sized), then a stateless deterministic
   per-row keep decision. No corpus shuffle.
+- :func:`soft_dedup_weights` — SoftDeDup-style duplicate DOWNWEIGHTING
+  instead of removal (Muennighoff et al. 2023 "Scaling Data-
+  Constrained Language Models" motivates keeping duplicates at
+  reduced sampling weight when data is scarce): every document gets
+  ``weight = 1 / n_copies`` over its byte-exact text duplicate set,
+  so a trainer sampling by weight sees each distinct text with equal
+  total mass. Scale shape: per-batch partial hash counts → one
+  int-only groupby → the DUPLICATE-MINORITY count table (hashes with
+  n ≥ 2 only — unique docs default to weight 1 without appearing
+  anywhere) broadcast via ``ray.put`` when bounded, else a
+  hash-keyed ``left_outer`` join of int pairs. Text never shuffles.
 - :func:`pack_documents` — greedy first-fit packing of documents into
   ~``budget`` token groups, batch-local so it streams: each
   map_batches task packs its own batch and emits globally-unique pack
@@ -155,3 +166,96 @@ def pack_documents(docs, budget: int, id_col: str = "doc_id",
         functools.partial(pack_batch, budget=budget, id_col=id_col,
                           tokens_col=tokens_col),
         batch_size=batch_size, batch_format="pyarrow")
+
+
+def _text_hash_batch(t: pa.Table, id_col: str, text_col: str
+                     ) -> pa.Table:
+    """(id, h) per row — 63-bit md5 truncation of the RAW text bytes
+    (byte-exact duplicate semantics, same key convention as
+    linededup; null text hashes as empty)."""
+    import hashlib
+
+    hs = [int.from_bytes(
+        hashlib.md5((s or "").encode("utf-8")).digest()[:8],
+        "big") >> 1 for s in t[text_col].to_pylist()]
+    return pa.table({id_col: t[id_col],
+                     "h": pa.array(hs, pa.int64())})
+
+
+def soft_dedup_weights(docs, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_broadcast: int = 2_000_000):
+    """(id, n_copies, weight) per document with
+    ``weight = 1 / n_copies`` over byte-exact text duplicates (see
+    module docstring). Every input row gets an output row; unique
+    docs carry ``n_copies = 1, weight = 1.0``."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    hashed = docs.select_columns([id_col, text_col]).map_batches(
+        functools.partial(_text_hash_batch, id_col=id_col,
+                          text_col=text_col),
+        batch_format="pyarrow")
+
+    # partial counts per batch BEFORE the groupby: the shuffle moves
+    # one (h, n) int row per (block, distinct hash), never per doc
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        s = pd.Series(t["h"].to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pa.table({"h": pa.array(s.index, pa.int64()),
+                         "n": pa.array(s.to_numpy(), pa.int64())})
+
+    counts = hashed.map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+    dup_counts = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n"] if "n" in t.column_names else t["sum(n)"], 2)),
+        batch_format="pyarrow").materialize()
+    n_dup = dup_counts.count()
+
+    def finish(t: pa.Table, lut_ref) -> pa.Table:
+        lut = ray.get(lut_ref) if lut_ref is not None else {}
+        ns = [lut.get(h, 1) for h in t["h"].to_pylist()]
+        return pa.table({
+            id_col: t[id_col],
+            "n_copies": pa.array(ns, pa.int64()),
+            "weight": pa.array([1.0 / n for n in ns], pa.float64()),
+        })
+
+    if n_dup == 0:
+        return hashed.map_batches(
+            functools.partial(finish, lut_ref=None),
+            batch_format="pyarrow")
+    if n_dup <= max_broadcast:
+        df = dup_counts.to_pandas()
+        # Ray 2.49: to_pandas on an all-empty dataset drops columns
+        # (n_dup > 0 here); column may surface as n or sum(n)
+        ncol = "n" if "n" in df.columns else "sum(n)"
+        lut_ref = ray.put(dict(zip(df["h"], df[ncol])))
+        return hashed.map_batches(
+            functools.partial(finish, lut_ref=lut_ref),
+            batch_format="pyarrow")
+    from pdfextract_ray.pipelines.relational import (coalesce_for_join,
+                                                     join_partitions)
+    joined = coalesce_for_join(hashed, n=join_partitions()).join(
+        coalesce_for_join(dup_counts), join_type="left_outer",
+        on=("h",), num_partitions=join_partitions())
+
+    def finish_joined(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        # blocks from empty right partitions may lack the n column
+        ncol = "n" if "n" in names else ("sum(n)" if "sum(n)" in names
+                                         else None)
+        raw = t[ncol].to_pylist() if ncol else [None] * len(t)
+        ns = [v if v is not None else 1 for v in raw]
+        return pa.table({
+            id_col: t[id_col],
+            "n_copies": pa.array(ns, pa.int64()),
+            "weight": pa.array([1.0 / n for n in ns], pa.float64()),
+        })
+
+    return joined.map_batches(finish_joined, batch_format="pyarrow")
