@@ -170,14 +170,13 @@ def pack_documents(docs, budget: int, id_col: str = "doc_id",
 
 def _text_hash_batch(t: pa.Table, id_col: str, text_col: str
                      ) -> pa.Table:
-    """(id, h) per row — 63-bit md5 truncation of the RAW text bytes
-    (byte-exact duplicate semantics, same key convention as
-    linededup; null text hashes as empty)."""
-    import hashlib
+    """(id, h) per row — the shared 63-bit content key
+    (:func:`textstats.text_key_hash63`) of the RAW text bytes
+    (byte-exact duplicate semantics; null text hashes as empty)."""
+    from pdfextract_ray.stages.textstats import text_key_hash63
 
-    hs = [int.from_bytes(
-        hashlib.md5((s or "").encode("utf-8")).digest()[:8],
-        "big") >> 1 for s in t[text_col].to_pylist()]
+    hs = [text_key_hash63((s or "").encode("utf-8"))
+          for s in t[text_col].to_pylist()]
     return pa.table({id_col: t[id_col],
                      "h": pa.array(hs, pa.int64())})
 
@@ -198,7 +197,12 @@ def soft_dedup_weights(docs, id_col: str = "doc_id",
     hashed = docs.select_columns([id_col, text_col]).map_batches(
         functools.partial(_text_hash_batch, id_col=id_col,
                           text_col=text_col),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    # materialized because TWO consumers read it (the counts pipeline
+    # and the finish/join branch) — without this, Ray re-executes the
+    # lineage per consumer and the corpus text is read + md5-hashed
+    # twice; the materialized table is (int64, int64) only, so the
+    # cost is trivial next to a second full text scan
 
     # partial counts per batch BEFORE the groupby: the shuffle moves
     # one (h, n) int row per (block, distinct hash), never per doc

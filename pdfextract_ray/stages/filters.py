@@ -34,11 +34,16 @@ the inner null propagates through NOT, and a null predicate never
 matches).
 
 ``matches`` is an unanchored RE2 regex search over a string column
-(``url matches '/tag/|/search\\?'`` — the URL-pattern filter every
+(``url matches '/tag/|/search\?'`` — the URL-pattern filter every
 crawl-curation recipe needs), validated against the RE2 engine at
 parse time so a bad pattern is a CLI error, not a mid-scan task
 failure. NULL cells match neither ``matches`` nor ``not matches``
 (the null propagates and a null predicate never keeps a row).
+IMPORTANT: inside a ``matches`` literal, backslashes pass through to
+RE2 RAW — ``'\.pdf'`` is the escaped-dot regex, ``'\d+'`` matches
+digits; only the quote character itself needs escaping (``\'`` /
+``\"``). Ordinary string literals (``==``, ``in``) keep the usual
+backslash unescaping.
 """
 
 from __future__ import annotations
@@ -90,6 +95,15 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 def _unquote(tok: str) -> str:
     body = tok[1:-1]
     return re.sub(r"\\(.)", r"\1", body)
+
+
+def _unquote_regex(tok: str) -> str:
+    """Unquote a ``matches`` pattern literal: ONLY the quote escape is
+    processed; every other backslash reaches RE2 intact (``'\\.pdf'``
+    must stay the escaped-dot regex — running the general _unquote
+    would silently turn it into ``.pdf``, which matches 'xpdf')."""
+    body = tok[1:-1]
+    return re.sub(r"\\(['\"])", r"\1", body)
 
 
 class _Parser:
@@ -163,7 +177,7 @@ class _Parser:
         if k != "str":
             raise PredicateError("'matches' takes a quoted regex, "
                                  "got %r" % text)
-        pattern = _unquote(text)
+        pattern = _unquote_regex(text)
         try:
             # validate against the ACTUAL engine (RE2) so a bad
             # pattern fails at parse time, not inside a scan task;
@@ -190,6 +204,11 @@ class _Parser:
             e = self._or()
             self._expect("rparen")
             return e
+        if k == "matches":
+            # a column may be literally named 'matches' (e.g. a
+            # classifier output); in column position the keyword
+            # reverts to an identifier
+            k = "ident"
         if k != "ident":
             raise PredicateError("expected a column name or '(', got %r"
                                  % text)
@@ -234,16 +253,11 @@ class _Parser:
                              % (text, t2))
 
 
-def parse_predicate(where: str, _parser_out: list | None = None):
+def parse_predicate(where: str):
     """Compile ``where`` to a pyarrow expression. Returns
-    ``(expression, referenced_column_names)``. ``_parser_out``, when
-    given, receives the parser instance (filter_read uses it to
-    type-check regex columns against the schema)."""
+    ``(expression, referenced_column_names)``."""
     p = _Parser(where)
-    expr = p.parse()
-    if _parser_out is not None:
-        _parser_out.append(p)
-    return expr, sorted(p.columns)
+    return p.parse(), sorted(p.columns)
 
 
 def filter_read(paths, where: str, columns: list[str] | None = None):
@@ -253,15 +267,15 @@ def filter_read(paths, where: str, columns: list[str] | None = None):
     import pyarrow.dataset as pads
     import ray.data
 
-    pout: list = []
-    expr, used = parse_predicate(where, _parser_out=pout)
+    p = _Parser(where)
+    expr, used = p.parse(), sorted(p.columns)
     schema = pads.dataset(paths).schema
     missing = [c for c in used if c not in schema.names]
     if missing:
         raise PredicateError(
             "predicate references column(s) %s not in the table (has: %s)"
             % (", ".join(missing), ", ".join(schema.names)))
-    for c in sorted(pout[0].regex_columns):
+    for c in sorted(p.regex_columns):
         typ = schema.field(c).type
         if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
             raise PredicateError(

@@ -46,13 +46,11 @@ join (the only text shuffle) → per-doc rebuild.
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 import pyarrow as pa
 
 from pdfextract_ray.stages.dedup import _mask, occurrence_lists_tail
-from pdfextract_ray.stages.textstats import ascii_words
+from pdfextract_ray.stages.textstats import ascii_words, text_key_hash63
 
 
 def line_key_hashes(text: str) -> list:
@@ -63,10 +61,7 @@ def line_key_hashes(text: str) -> list:
         if not words:
             continue
         b = " ".join(words).encode("utf-8")
-        # 63-bit md5 truncation (fits signed int64); see module
-        # docstring for why a crc32 pair is NOT a 64-bit key
-        h = int.from_bytes(hashlib.md5(b).digest()[:8], "big") >> 1
-        out.append((i, h))
+        out.append((i, text_key_hash63(b)))
     return out
 
 

@@ -45,6 +45,17 @@ ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 _NON_ASCII_WS_RE = re.compile(r"[^\S \t\n\x0b\f\r]")
 
 
+def text_key_hash63(b: bytes) -> int:
+    """THE 63-bit content-key convention (md5 truncated to the top 8
+    bytes, high bit shifted off so it fits signed int64) shared by
+    every operator that keys on content bytes (``linededup``,
+    ``soft_dedup_weights``). One definition so snapshots/keys written
+    by one operator version always match another — and NOT a crc32
+    pair: ``crc32(b + suffix)`` is a deterministic function of
+    ``crc32(b)``, so a crc pair has only 32 bits of entropy."""
+    return int.from_bytes(hashlib.md5(b).digest()[:8], "big") >> 1
+
+
 def ascii_words(text: str) -> list[str]:
     """Split on ASCII whitespace exactly (empty tokens dropped)."""
     if _NON_ASCII_WS_RE.search(text) is None:

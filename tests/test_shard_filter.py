@@ -217,6 +217,35 @@ def test_parse_predicate_matches():
         parse_predicate("url matches 5")
 
 
+def test_matches_backslashes_reach_re2_raw():
+    """Review-found: the general string unescape turned '\\.pdf' into
+    '.pdf' (which matches 'xpdf'); regex literals keep backslashes."""
+    from pdfextract_ray.stages.filters import parse_predicate
+
+    tbl = pa.table({
+        "url": pa.array(["report.pdf", "xpdf", "file9", "filez"]),
+        "n": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    cases = {
+        r"url matches '\.pdf'": [0],        # escaped dot is literal
+        r"url matches 'file\d'": [2],       # \d is a digit class
+        r"url matches 'file[9z]'": [2, 3],
+    }
+    for where, expect in cases.items():
+        expr, _ = parse_predicate(where)
+        assert tbl.filter(expr)["n"].to_pylist() == expect, where
+
+
+def test_column_named_matches_still_usable():
+    from pdfextract_ray.stages.filters import parse_predicate
+
+    tbl = pa.table({"matches": pa.array([True, False, True]),
+                    "n": pa.array([0, 1, 2], pa.int64())})
+    expr, used = parse_predicate("matches == true")
+    assert tbl.filter(expr)["n"].to_pylist() == [0, 2]
+    assert used == ["matches"]
+
+
 def test_filter_read_matches_type_check(ray_session, tmp_path):
     from pdfextract_ray.stages.filters import PredicateError, filter_read
 
