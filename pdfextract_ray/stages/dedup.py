@@ -595,49 +595,130 @@ def prefix_tokens_shard(df: pd.DataFrame, t_num: int, t_den: int,
                         shard_mask: int | None = None) -> pd.DataFrame:
     """One doc-shard group: per doc, keep the p rarest tokens under the
     global (freq, h32) order, p = n - ceil(t*n) + 1 (exact integer
-    ceil). Emits (h32, doc_id, n, tshard) for pair generation."""
+    ceil). Emits (h32, doc_id, n, pos, tshard) for pair generation —
+    ``pos`` is the token's 0-based position in the doc's FULL
+    (freq, h32)-sorted token list, the input to the PPJoin positional
+    filter in :func:`prefix_pairs_shard`."""
     shard_mask = _mask(shard_mask)
     if len(df) == 0:
         return pd.DataFrame({"h32": pd.Series(dtype="int64"),
                              "doc_id": pd.Series(dtype="int64"),
                              "n": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64"),
                              "tshard": pd.Series(dtype="int64")})
-    parts = []
-    for doc_id, g in df.groupby("doc_id", sort=False):
-        n = len(g)
-        p = n - (t_num * n + t_den - 1) // t_den + 1
-        head = g.sort_values(["freq", "h32"], kind="mergesort").head(p)
-        parts.append(pd.DataFrame({"h32": head["h32"].to_numpy(),
-                                   "doc_id": np.int64(doc_id),
-                                   "n": np.int64(n)}))
-    out = pd.concat(parts, ignore_index=True)
+    # fully vectorized: one (doc_id, freq, h32) sort, per-doc n via
+    # transform(size), pos via cumcount, then a single pos < p mask
+    s = df.sort_values(["doc_id", "freq", "h32"],
+                       kind="mergesort", ignore_index=True)
+    grp = s.groupby("doc_id", sort=False)
+    n = grp["h32"].transform("size").to_numpy().astype(np.int64)
+    pos = grp.cumcount().to_numpy().astype(np.int64)
+    p = n - (t_num * n + t_den - 1) // t_den + 1
+    keep = pos < p
+    out = pd.DataFrame({"h32": s["h32"].to_numpy()[keep],
+                        "doc_id": s["doc_id"].to_numpy()[keep],
+                        "n": n[keep], "pos": pos[keep]})
     out["tshard"] = out["h32"].to_numpy() & shard_mask
     return out
+
+
+# A token whose prefix-posting list exceeds this is a "hot token":
+# pair generation is still EXACT (length-window + positional filter),
+# but the group's size is logged so skewed corpora are observable.
+HOT_TOKEN_LOG_SIZE = 4096
+# Candidate pairs are materialized in chunks of at most this many index
+# pairs at a time, so one hot token can never allocate O(group^2)
+# memory in a single shot.
+_PAIR_CHUNK = 1 << 20
+
+
+def _window_pairs(ids: np.ndarray, ns: np.ndarray, pos: np.ndarray,
+                  t_num: int, t_den: int,
+                  a_out: list[np.ndarray], b_out: list[np.ndarray]) -> None:
+    """Candidate pairs within one token's posting list, sorted by
+    (n, doc_id) ascending. Each row i pairs only with rows in its
+    LENGTH WINDOW [i+1, end_i) where n_j <= floor(n_i * t_den / t_num)
+    (the exact-integer length filter, applied via searchsorted instead
+    of materializing the full triangle), then the PPJoin positional
+    filter prunes by remaining-token upper bound. Pairs are emitted in
+    bounded chunks (<= _PAIR_CHUNK index pairs live at once)."""
+    m = len(ids)
+    # length window per row: partners j > i with t_num*n_j <= t_den*n_i
+    hi_bound = (t_den * ns) // t_num
+    win_end = np.searchsorted(ns, hi_bound, side="right")
+    counts = np.maximum(win_end - np.arange(1, m + 1), 0)
+    total = int(counts.sum())
+    if total == 0:
+        return
+    # chunk boundaries over rows so each slab stays <= _PAIR_CHUNK
+    csum = np.concatenate(([0], np.cumsum(counts)))
+    start = 0
+    while start < m:
+        stop = int(np.searchsorted(csum, csum[start] + _PAIR_CHUNK,
+                                   side="left"))
+        stop = min(max(stop, start + 1), m)
+        c = counts[start:stop]
+        tot = int(c.sum())
+        if tot == 0:
+            start = stop
+            continue
+        rows = np.arange(start, stop)
+        iu = np.repeat(rows, c)
+        offs = np.concatenate(([0], np.cumsum(c)))[:-1]
+        ju = (np.arange(tot) - np.repeat(offs, c)
+              + np.repeat(rows + 1, c))
+        na, nb = ns[iu], ns[ju]
+        ia, jb = pos[iu], pos[ju]
+        # PPJoin positional filter: at the FIRST token two prefixes
+        # share, no common token precedes it in either doc (an earlier
+        # common token would sit at strictly smaller positions, hence
+        # inside both prefixes, contradicting firstness), so
+        # overlap <= ub = 1 + min(n_a-i-1, n_b-j-1). A qualifying pair
+        # (|∩| >= alpha = ceil(t*(n_a+n_b)/(1+t))) therefore passes at
+        # that occurrence; pruning other occurrences loses nothing.
+        ub = 1 + np.minimum(na - ia - 1, nb - jb - 1)
+        keep = (t_num + t_den) * ub >= t_num * (na + nb)
+        if keep.any():
+            a_ids = ids[iu[keep]]
+            b_ids = ids[ju[keep]]
+            a_out.append(np.minimum(a_ids, b_ids))
+            b_out.append(np.maximum(a_ids, b_ids))
+        start = stop
 
 
 def prefix_pairs_shard(df: pd.DataFrame, t_num: int, t_den: int
                        ) -> pd.DataFrame:
     """One token-shard group: within each prefix token, emit candidate
-    pairs (a < b) passing the exact-integer length filter."""
+    pairs (a < b) passing the exact-integer length filter AND the
+    PPJoin positional filter (Xiao et al., WWW'08) — both necessary
+    conditions, so the candidate set stays COMPLETE (property-tested
+    against brute force, incl. an adversarial shared-hot-token corpus).
+
+    Scale posture: generation is length-windowed (sort by n +
+    searchsorted, never a full np.triu triangle) and chunked to
+    ``_PAIR_CHUNK`` live index pairs, so a hot token costs bounded
+    memory; groups larger than ``HOT_TOKEN_LOG_SIZE`` are logged. The
+    positional filter is what defuses the skew case — a mid-frequency
+    boilerplate shingle shared by thousands of otherwise-dissimilar
+    docs sorts LATE in each doc's (freq, h32) order, so its
+    remaining-token bound is far below alpha and the group emits ~no
+    pairs."""
     if len(df) == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
-    for _, g in df.groupby("h32", sort=False):
+    for h32, g in df.groupby("h32", sort=False):
         if len(g) < 2:
             continue
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g["doc_id"].to_numpy()
-        ns = g["n"].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        na, nb = ns[iu], ns[ju]
-        lo = np.minimum(na, nb)
-        hi = np.maximum(na, nb)
-        keep = t_den * lo >= t_num * hi
-        if keep.any():
-            a_out.append(ids[iu[keep]])
-            b_out.append(ids[ju[keep]])
+        if len(g) > HOT_TOKEN_LOG_SIZE:
+            import logging
+            logging.getLogger(__name__).warning(
+                "hot prefix token h32=%s: %d docs (exact length-window "
+                "generation, bounded chunks)", h32, len(g))
+        g = g.sort_values(["n", "doc_id"], kind="mergesort")
+        _window_pairs(g["doc_id"].to_numpy(), g["n"].to_numpy(),
+                      g["pos"].to_numpy(), t_num, t_den, a_out, b_out)
     if not a_out:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})

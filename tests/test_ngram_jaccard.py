@@ -65,6 +65,53 @@ def test_prefix_filter_complete_random_sets():
         assert not missing, (trial, missing, sets)
 
 
+def test_hot_token_group_pruned_by_positional_filter():
+    """VERDICT r4 adversarial case: >=5k docs sharing one prefix-hot
+    token but otherwise dissimilar. The shared hot token lands in every
+    doc's prefix (all its other non-rare tokens tie at the same
+    frequency), forming one 5000-doc posting group; without the PPJoin
+    positional filter that group emits ~12.5M candidate pairs. With it,
+    the remaining-token bound (ub = 1 + min(n_a-i-1, n_b-j-1) = 8) is
+    below alpha = ceil(0.8*20/1.8) = 9, so the whole group prunes to
+    zero — while planted qualifying near-dup pairs are still found
+    (completeness), and generation is chunked so the group never
+    allocates a quadratic triangle."""
+    HOT = [10_000 + i for i in range(8)]   # in every doc -> freq 5000
+    sets: dict[int, set[int]] = {}
+    for d in range(5000):
+        # 2 unique rare tokens + the 8 shared hot tokens -> n = 10
+        sets[d] = {20_000 + 2 * d, 20_000 + 2 * d + 1} | set(HOT)
+    # plant 5 qualifying near-dup pairs: share one rare token
+    # (J = 9/11 ~ 0.818 >= 0.8)
+    planted = set()
+    for k in range(5):
+        a, b = 5000 + 2 * k, 5000 + 2 * k + 1
+        shared_rare = 40_000 + 3 * k
+        sets[a] = {shared_rare, 40_000 + 3 * k + 1} | set(HOT)
+        sets[b] = {shared_rare, 40_000 + 3 * k + 2} | set(HOT)
+        planted.add((a, b))
+    cand = _local_allpairs(sets, T_NUM, T_DEN)
+    assert planted <= cand, planted - cand
+    # the 5000-doc hot group contributed nothing: only the planted
+    # rare-token groups (plus at most a handful of stragglers) survive
+    assert len(cand) <= 20, len(cand)
+
+
+def test_positional_filter_never_drops_qualifying_pair_dense():
+    """Dense randomized completeness sweep aimed at the positional
+    filter specifically: universes small enough that docs share many
+    tokens at varied positions."""
+    rng = random.Random(99)
+    for trial in range(40):
+        universe = list(range(rng.randint(4, 12)))
+        sets = {d: set(rng.sample(universe,
+                                  rng.randint(1, len(universe))))
+                for d in range(rng.randint(3, 12))}
+        cand = _local_allpairs(sets, T_NUM, T_DEN)
+        want = _brute_pairs(sets, T_NUM, T_DEN)
+        assert want <= cand, (trial, want - cand, sets)
+
+
 def test_prefix_length_exact_integer_ceil():
     """p = n - ceil(t*n) + 1 with integer math: for t=0.8 the prefix of
     an n-set must still catch a pair at exactly J = t."""
