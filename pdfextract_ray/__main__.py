@@ -278,7 +278,18 @@ def main(argv=None) -> int:
                             "snapshot here; append/point it into the "
                             "snapshot dir so the NEXT delivery dedups "
                             "against old+this one without re-shingling "
-                            "either")
+                            "either. NOTE: by default the snapshot "
+                            "covers EVERY delivery row, including docs "
+                            "this run flags keep=false (they were "
+                            "seen, so future deliveries still dedup "
+                            "against them); --kept-sigs-only writes "
+                            "only the keep=true rows instead")
+    sp_ni.add_argument("--kept-sigs-only", action="store_true",
+                       help="with --write-new-sigs: filter the written "
+                            "snapshot to docs this run KEPT, so the "
+                            "snapshot mirrors what actually entered "
+                            "the corpus (rejected docs are not dedup "
+                            "anchors for future deliveries)")
     sp_ni.add_argument("--threshold", type=float, default=0.5,
                        help="estimated-Jaccard cut (default 0.5)")
     sp_ni.add_argument("--out", required=True)
@@ -340,7 +351,9 @@ def main(argv=None) -> int:
              "document gets weight = 1/n_copies over its byte-exact "
              "text duplicate set (unique docs weight 1.0), so "
              "weighted sampling sees each distinct text with equal "
-             "total mass; writes (doc_id, n_copies, weight)")
+             "total mass; NULL-text docs are excluded from grouping "
+             "and always get weight 1.0 (absent content is not "
+             "duplicate content); writes (doc_id, n_copies, weight)")
     sp_sw.add_argument("table", help="parquet file/dir with an integer "
                                      "id column and a text column")
     sp_sw.add_argument("--out", required=True)
@@ -936,16 +949,32 @@ def main(argv=None) -> int:
                         .materialize()
                     old_docs = None
                     old_sigs.write_parquet(args.write_sigs)
+                if args.kept_sigs_only and not args.write_new_sigs:
+                    p.error("--kept-sigs-only requires --write-new-sigs")
                 new_sigs = None
                 if args.write_new_sigs:
                     # shingle the delivery ONCE: the written snapshot
                     # also feeds this run's banding
                     new_sigs = neardup.signatures(ds).materialize()
-                    new_sigs.write_parquet(args.write_new_sigs)
+                    if not args.kept_sigs_only:
+                        new_sigs.write_parquet(args.write_new_sigs)
                 out_ds = neardup.neardup_incremental(
                     new_docs=None if new_sigs is not None else ds,
                     old_docs=old_docs, old_sigs=old_sigs,
                     new_sigs=new_sigs, threshold=args.threshold)
+                if args.write_new_sigs and args.kept_sigs_only:
+                    # verdict-filtered snapshot: only docs that entered
+                    # the corpus become dedup anchors for future runs
+                    import pyarrow.compute as _pc
+                    from pdfextract_ray.pipelines.relational import \
+                        anti_filter
+                    out_ds = out_ds.materialize()
+                    drops = out_ds.map_batches(
+                        lambda t: t.filter(_pc.invert(t["keep"]))
+                        .select(["doc_id"]),
+                        batch_format="pyarrow")
+                    anti_filter(new_sigs, drops, "doc_id") \
+                        .write_parquet(args.write_new_sigs)
             else:
                 from pdfextract_ray.stages.dedup import decontaminate_corpus
                 ev_schema = pads.dataset(args.eval_table).schema

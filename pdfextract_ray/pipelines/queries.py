@@ -783,8 +783,13 @@ def q_paragraph_dedup(sf_dir: str):
         .map_batches(functools.partial(paragraph_explode_batch,
                                        shard_mask=mask),
                      batch_format="pyarrow")
+    # coalesce the shard-group output before the doc groupby: sparse
+    # shard groups emit schema-less empty blocks that trigger Ray
+    # 2.49's "RefBundle with a different schema" warnings (cluster-
+    # proportional n — the partials are three-int rows, never text)
     partials = exploded.groupby("shard") \
-        .map_groups(paragraph_flags_shard, batch_format="pandas")
+        .map_groups(paragraph_flags_shard, batch_format="pandas") \
+        .repartition(join_partitions())
     summed = partials.groupby("doc_id").aggregate(
         Sum("n_paras", alias_name="n_paras"),
         Sum("n_dup_paras", alias_name="n_dup_paras"))
@@ -1954,8 +1959,11 @@ def q_embedding_near_dup(sf_dir: str):
                          "b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
     # distributed dedupe (same pair from multiple LSH tables; cosine is
-    # identical across tables so a Min aggregate folds duplicates)
-    return pairs.groupby(["a", "b"]) \
+    # identical across tables so a Min aggregate folds duplicates);
+    # repartition first: most LSH buckets are singletons, so the
+    # map_groups output is riddled with schema-less empty blocks that
+    # otherwise trip Ray 2.49's "different schema" warnings
+    return pairs.repartition(join_partitions()).groupby(["a", "b"]) \
         .aggregate(Min("cosine", alias_name="cosine")) \
         .sort(["a", "b"])
 

@@ -170,15 +170,20 @@ def pack_documents(docs, budget: int, id_col: str = "doc_id",
 
 def _text_hash_batch(t: pa.Table, id_col: str, text_col: str
                      ) -> pa.Table:
-    """(id, h) per row — the shared 63-bit content key
-    (:func:`textstats.text_key_hash63`) of the RAW text bytes
-    (byte-exact duplicate semantics; null text hashes as empty)."""
+    """(id, h, nul) per row — the shared 63-bit content key
+    (:func:`textstats.text_key_hash63`) of the RAW text bytes.
+    NULL-text rows are flagged: absent content is not duplicate
+    content, so they are excluded from duplicate grouping downstream
+    (weight 1.0) instead of being down-weighted against each other or
+    against genuinely-empty-string docs."""
     from pdfextract_ray.stages.textstats import text_key_hash63
 
-    hs = [text_key_hash63((s or "").encode("utf-8"))
-          for s in t[text_col].to_pylist()]
+    texts = t[text_col].to_pylist()
+    hs = [text_key_hash63((s or "").encode("utf-8")) for s in texts]
     return pa.table({id_col: t[id_col],
-                     "h": pa.array(hs, pa.int64())})
+                     "h": pa.array(hs, pa.int64()),
+                     "nul": pa.array([s is None for s in texts],
+                                     pa.bool_())})
 
 
 def soft_dedup_weights(docs, id_col: str = "doc_id",
@@ -187,7 +192,10 @@ def soft_dedup_weights(docs, id_col: str = "doc_id",
     """(id, n_copies, weight) per document with
     ``weight = 1 / n_copies`` over byte-exact text duplicates (see
     module docstring). Every input row gets an output row; unique
-    docs carry ``n_copies = 1, weight = 1.0``."""
+    docs carry ``n_copies = 1, weight = 1.0``. NULL-text rows are
+    never grouped (with each other or with empty-string docs): absent
+    content is not duplicate content, so they always emit
+    ``n_copies = 1, weight = 1.0``."""
     import functools
 
     import pyarrow.compute as pc
@@ -208,6 +216,7 @@ def soft_dedup_weights(docs, id_col: str = "doc_id",
     # one (h, n) int row per (block, distinct hash), never per doc
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
+        t = t.filter(pc.invert(t["nul"]))  # null text never groups
         s = pd.Series(t["h"].to_numpy(zero_copy_only=False)) \
             .value_counts()
         return pa.table({"h": pa.array(s.index, pa.int64()),
@@ -223,7 +232,9 @@ def soft_dedup_weights(docs, id_col: str = "doc_id",
 
     def finish(t: pa.Table, lut_ref) -> pa.Table:
         lut = ray.get(lut_ref) if lut_ref is not None else {}
-        ns = [lut.get(h, 1) for h in t["h"].to_pylist()]
+        ns = [1 if nul else lut.get(h, 1)
+              for h, nul in zip(t["h"].to_pylist(),
+                                t["nul"].to_pylist())]
         return pa.table({
             id_col: t[id_col],
             "n_copies": pa.array(ns, pa.int64()),
@@ -255,7 +266,8 @@ def soft_dedup_weights(docs, id_col: str = "doc_id",
         ncol = "n" if "n" in names else ("sum(n)" if "sum(n)" in names
                                          else None)
         raw = t[ncol].to_pylist() if ncol else [None] * len(t)
-        ns = [v if v is not None else 1 for v in raw]
+        ns = [1 if nul else (v if v is not None else 1)
+              for v, nul in zip(raw, t["nul"].to_pylist())]
         return pa.table({
             id_col: t[id_col],
             "n_copies": pa.array(ns, pa.int64()),

@@ -1,4 +1,4 @@
-"""Predicate + projection pushdown export (`filter` CLI).
+r"""Predicate + projection pushdown export (`filter` CLI).
 
 A generic "select columns where predicate" pass over a parquet corpus,
 compiled to a **pyarrow dataset expression** and handed to the scanner

@@ -23,8 +23,10 @@ Pinned semantics (tests assert these):
 - words are :func:`textstats.ascii_words` on the lowercased text —
   the package-wide tokenizer contract;
 - mean word length is over those words' character lengths;
-- the symbol count is occurrences of ``#``, ``…``, and the
-  three-dot run ``...`` (non-overlapping, counted via one RE2 scan);
+- symbol counts are occurrences of ``#`` and of an ellipsis (``…`` or
+  the three-dot run ``...``, non-overlapping), each counted via its
+  own RE2 scan and thresholded SEPARATELY per Rae et al. 2021 — a
+  page is dropped when EITHER symbol-to-word ratio exceeds 0.1;
 - lines are ``text.split("\\n")``; bullets are the common glyph set
   ``- * • ‣ ◦ ⁃ ∙``; an ellipsis ending is
   ``...`` or ``…`` after ``rstrip()``;
@@ -47,7 +49,12 @@ from pdfextract_ray.stages.textstats import ascii_words
 STOPWORDS = frozenset(
     {"the", "be", "to", "of", "and", "that", "have", "with"})
 BULLETS = ("-", "*", "•", "‣", "◦", "⁃", "∙")
-_SYMBOL_RE = r"#|…|\.\.\."
+# Rae et al. 2021 apply the 0.1 symbol-to-word threshold PER symbol
+# type ("either the hash symbol or the ellipsis"), so the two counts
+# are scanned and thresholded separately — a page at 0.06 + 0.06 is
+# kept (a combined-ratio test would wrongly drop it).
+_HASH_RE = r"#"
+_ELLIPSIS_RE = r"…|\.\.\."
 
 MIN_WORDS, MAX_WORDS = 50, 100_000
 MIN_MEAN_LEN, MAX_MEAN_LEN = 3.0, 10.0
@@ -100,19 +107,24 @@ def gopher_rules_batch(t: pa.Table, text_col: str = "text",
         bullet_frac[i] = nb / len(lines)
         ellipsis_frac[i] = ne / len(lines)
 
-    n_symbols = pc.fill_null(pc.cast(
-        pc.count_substring_regex(t[text_col], _SYMBOL_RE),
+    n_hash = pc.fill_null(pc.cast(
+        pc.count_substring_regex(t[text_col], _HASH_RE),
+        pa.int64()), 0).to_numpy(zero_copy_only=False)
+    n_ellipsis = pc.fill_null(pc.cast(
+        pc.count_substring_regex(t[text_col], _ELLIPSIS_RE),
         pa.int64()), 0).to_numpy(zero_copy_only=False)
     with np.errstate(divide="ignore", invalid="ignore"):
-        symbol_ratio = np.where(n_words > 0, n_symbols / n_words,
-                                np.inf)
+        hash_ratio = np.where(n_words > 0, n_hash / n_words, np.inf)
+        ellipsis_ratio = np.where(n_words > 0, n_ellipsis / n_words,
+                                  np.inf)
 
     rules = {
         "word_count_ok": valid & (n_words >= MIN_WORDS)
         & (n_words <= MAX_WORDS),
         "mean_word_len_ok": valid & (mean_len >= MIN_MEAN_LEN)
         & (mean_len <= MAX_MEAN_LEN),
-        "symbol_ratio_ok": valid & (symbol_ratio <= MAX_SYMBOL_RATIO),
+        "symbol_ratio_ok": valid & (hash_ratio <= MAX_SYMBOL_RATIO)
+        & (ellipsis_ratio <= MAX_SYMBOL_RATIO),
         "bullet_frac_ok": valid & (bullet_frac < MAX_BULLET_FRAC),
         "ellipsis_frac_ok": valid & (ellipsis_frac < MAX_ELLIPSIS_FRAC),
         "alpha_frac_ok": valid & (alpha_frac >= MIN_ALPHA_FRAC),

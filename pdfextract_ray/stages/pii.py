@@ -94,7 +94,16 @@ def redact_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Replace every PII match in ``text_col`` with its sentinel
     token (email → IP → phone, see ``_REDACT_CHAIN``), preserving all
     other columns. Also appends ``n_redactions`` (int64) so callers
-    can audit masking density without re-scanning."""
+    can audit masking density without re-scanning.
+
+    ``n_redactions`` is the APPLIED-masking count: each later pattern
+    counts on text already rewritten by earlier ones, so a span
+    matching two patterns (e.g. a digit/dash local part like
+    ``555-867-5309@x.com``) is masked and counted ONCE. The
+    independent per-pattern counts from :func:`pii_stats_batch` scan
+    the RAW text per pattern and can exceed it when matches overlap —
+    the two columns answer different questions (masks applied vs
+    pattern hits) and are not expected to reconcile."""
     text = t[text_col]
     total = None
     for pattern, token in _REDACT_CHAIN:

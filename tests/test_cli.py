@@ -341,6 +341,40 @@ def test_cli_neardup_snapshot_composes_across_deliveries(ray_session,
               "--out", str(tmp_path / "o3")])
 
 
+def test_cli_neardup_kept_sigs_only(ray_session, tmp_path):
+    """--kept-sigs-only: the delivery snapshot is filtered to the
+    run's keep=true verdicts, so rejected docs never become dedup
+    anchors for future deliveries (default mode writes every row —
+    both behaviors spelled out in the flag help)."""
+    import pyarrow as pa
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    old = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": [base]})
+    # doc 10 near-dups the old corpus (rejected); doc 11 is fresh
+    new = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                    "text": [base.replace("gamma", "zzz", 1),
+                             "fresh unrelated words entirely disjoint"]})
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(old, old_p)
+    pq.write_table(new, new_p)
+    snap = str(tmp_path / "kept")
+    assert main(["neardup-incremental", new_p, "--against", old_p,
+                 "--write-new-sigs", snap, "--kept-sigs-only",
+                 "--out", str(tmp_path / "o1")]) == 0
+    t = pq.read_table(glob.glob(os.path.join(
+        str(tmp_path / "o1"), "*.parquet"))).sort_by("doc_id")
+    assert t.column("keep").to_pylist() == [False, True]
+    sigs = pq.read_table(glob.glob(os.path.join(snap, "*.parquet")))
+    assert sigs.column("doc_id").to_pylist() == [11]  # kept rows only
+    # --kept-sigs-only without --write-new-sigs is a usage error
+    with pytest.raises(SystemExit):
+        main(["neardup-incremental", new_p, "--against", old_p,
+              "--kept-sigs-only", "--out", str(tmp_path / "o4")])
+
+
 def test_cli_domain_cap_and_stats(ray_session, tmp_path):
     import pyarrow as pa
 

@@ -52,6 +52,17 @@ def test_symbol_ratio():
     assert _verdict(GOOD + " #", "symbol_ratio_ok")
 
 
+def test_symbol_ratio_is_per_symbol_type():
+    """Rae et al. 2021 threshold EACH symbol type at 0.1 ('either'):
+    ~0.065 hash + ~0.065 ellipsis passes even though the combined
+    ratio exceeds 0.1; ~0.12 of one type alone fails."""
+    n = len(ascii_words(GOOD.lower()))
+    both = GOOD + " #" * int(0.06 * n) + " ..." * int(0.06 * n)
+    assert _verdict(both, "symbol_ratio_ok")
+    one = GOOD + " #" * int(0.13 * n)
+    assert not _verdict(one, "symbol_ratio_ok")
+
+
 def test_bullet_and_ellipsis_line_fractions():
     bullets = "\n".join("• item %d here" % i for i in range(10))
     assert not _verdict(bullets, "bullet_frac_ok")
@@ -86,7 +97,10 @@ def _brute_keep(text):
     if not (3.0 <= ml <= 10.0):
         return False
     import re
-    if len(re.findall(r"#|…|\.\.\.", text)) / len(words) > 0.1:
+    # per-symbol-type thresholds (Rae et al. 2021: "either")
+    if len(re.findall(r"#", text)) / len(words) > 0.1:
+        return False
+    if len(re.findall(r"…|\.\.\.", text)) / len(words) > 0.1:
         return False
     lines = text.split("\n")
     if sum(1 for ln in lines

@@ -28,11 +28,26 @@ def test_weights_and_copies(ray_session):
     tbl = _t(["same text", "same text", "same text",
               "unique one", "pair", "pair", None, None])
     out = _run(tbl)
-    assert list(out["n_copies"]) == [3, 3, 3, 1, 2, 2, 2, 2]
+    # NULL text is absent content, not duplicate content: the two
+    # None rows are never grouped (n_copies 1, weight 1.0)
+    assert list(out["n_copies"]) == [3, 3, 3, 1, 2, 2, 1, 1]
     assert list(out["weight"]) == [1 / 3, 1 / 3, 1 / 3, 1.0,
-                                   0.5, 0.5, 0.5, 0.5]
-    # total mass per distinct text is 1
-    assert abs(out["weight"].sum() - 4.0) < 1e-12
+                                   0.5, 0.5, 1.0, 1.0]
+    # total mass: 1 per distinct text + 1 per null row
+    assert abs(out["weight"].sum() - 5.0) < 1e-12
+
+
+def test_null_text_not_grouped_with_empty_string(ray_session):
+    """Empty-STRING docs are genuine byte-exact duplicates of each
+    other; NULL docs are not grouped with them (or each other) even
+    though both hash the same underlying empty bytes."""
+    tbl = _t(["", "", None, None, ""])
+    out = _run(tbl)
+    assert list(out["n_copies"]) == [3, 3, 1, 1, 3]
+    assert list(out["weight"]) == [1 / 3, 1 / 3, 1.0, 1.0, 1 / 3]
+    # the forced join tier agrees
+    j = _run(tbl, max_broadcast=0)
+    assert list(j["n_copies"]) == [3, 3, 1, 1, 3]
 
 
 def test_all_unique_fast_path(ray_session):
