@@ -508,7 +508,31 @@ def main(argv=None) -> int:
     sp_pk.add_argument("--out", required=True)
     sp_pk.add_argument("--id-col", default="doc_id")
     sp_pk.add_argument("--tokens-col", default="n_tokens")
+    sp_pk.add_argument("--bpe", action="store_true",
+                       help="ignore --tokens-col and budget in REAL "
+                            "tokenizer tokens: count each doc's text "
+                            "with the frozen byte-level BPE table "
+                            "(data/bpe_merges.txt) before packing")
+    sp_pk.add_argument("--text-col", default="text",
+                       help="text column for --bpe counting")
     sp_pk.add_argument("--num-cpus", type=int, default=None)
+
+    sp_tk = sub.add_parser(
+        "token-stats",
+        help="per-document token counts: n_ws_tokens (ASCII-whitespace "
+             "words, the package tokenizer contract) and n_bpe_tokens "
+             "(frozen from-scratch byte-level BPE, "
+             "data/bpe_merges.txt); writes (doc_id, n_ws_tokens, "
+             "n_bpe_tokens)")
+    sp_tk.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_tk.add_argument("--out", required=True)
+    sp_tk.add_argument("--id-col", default="doc_id")
+    sp_tk.add_argument("--text-col", default="text")
+    sp_tk.add_argument("--merges", default=None,
+                       help="alternate merges table (default: the "
+                            "frozen bundled one)")
+    sp_tk.add_argument("--num-cpus", type=int, default=None)
 
     sp_sh = sub.add_parser(
         "shuffle-export",
@@ -576,11 +600,16 @@ def main(argv=None) -> int:
             print("%-22s %s" % (f.name, f.default))
         return 0
 
-    if args.cmd in ("sample-mixture", "pack"):
+    if args.cmd in ("sample-mixture", "pack", "token-stats"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
-        other = args.source_col if args.cmd == "sample-mixture" \
-            else args.tokens_col
+        if args.cmd == "sample-mixture":
+            other = args.source_col
+        elif args.cmd == "token-stats" or (args.cmd == "pack"
+                                           and args.bpe):
+            other = args.text_col
+        else:
+            other = args.tokens_col
         for col in (args.id_col, other):
             if col not in schema.names:
                 p.error("column %r not in %s (has: %s)"
@@ -612,6 +641,35 @@ def main(argv=None) -> int:
                 from pdfextract_ray.stages.assemble import mixture_sample
                 out_ds = mixture_sample(ds, targets, id_col=args.id_col,
                                         source_col=args.source_col)
+            elif args.cmd == "token-stats":
+                from pdfextract_ray.stages.bpe import token_counts_bpe
+                from pdfextract_ray.stages.textstats import ascii_words
+                ds = ray.data.read_parquet(
+                    args.table, columns=[args.id_col, args.text_col])
+
+                def _ws(t, id_col=args.id_col, text_col=args.text_col):
+                    import pyarrow as _pa
+                    ns = [len(ascii_words(s)) if s else 0
+                          for s in t[text_col].to_pylist()]
+                    return t.select([id_col, text_col]).append_column(
+                        "n_ws_tokens", _pa.array(ns, _pa.int64()))
+
+                with_ws = ds.map_batches(_ws, batch_format="pyarrow")
+                out_ds = token_counts_bpe(
+                    with_ws, id_col=args.id_col, text_col=args.text_col,
+                    merges_path=args.merges, out_col="n_bpe_tokens",
+                    keep_cols=["n_ws_tokens"])
+            elif args.cmd == "pack" and args.bpe:
+                from pdfextract_ray.stages.assemble import pack_documents
+                from pdfextract_ray.stages.bpe import token_counts_bpe
+                ds = ray.data.read_parquet(
+                    args.table, columns=[args.id_col, args.text_col])
+                counts = token_counts_bpe(ds, id_col=args.id_col,
+                                          text_col=args.text_col,
+                                          out_col="n_tokens")
+                out_ds = pack_documents(counts, args.budget,
+                                        id_col=args.id_col,
+                                        tokens_col="n_tokens")
             else:
                 from pdfextract_ray.stages.assemble import pack_documents
                 ds = ray.data.read_parquet(

@@ -1968,6 +1968,29 @@ def q_embedding_near_dup(sf_dir: str):
         .sort(["a", "b"])
 
 
+def q_doc_token_stats(sf_dir: str):
+    """Per-document REAL token counts: n_ws_tokens (the pinned
+    ASCII-whitespace word count) next to n_bpe_tokens under the frozen
+    from-scratch byte-level BPE table (``stages/bpe.py`` — Sennrich et
+    al. 2016 over UTF-8 bytes; deterministic, data/bpe_merges.txt).
+    Rows-only (BPE is not SQL-expressible); the encoder itself is
+    property-tested against the definitional replay encoder, and
+    ``pack --bpe`` budgets in these counts."""
+    from pdfextract_ray.stages.bpe import token_counts_bpe
+    from pdfextract_ray.stages.textstats import ascii_words
+
+    def ws(t: pa.Table) -> pa.Table:
+        ns = [len(ascii_words(s)) if s else 0
+              for s in t["text"].to_pylist()]
+        return t.append_column("n_ws_tokens", pa.array(ns, pa.int64()))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(ws, batch_format="pyarrow")
+    return token_counts_bpe(docs, out_col="n_bpe_tokens",
+                            keep_cols=["n_ws_tokens"]) \
+        .sort("doc_id")
+
+
 # -------------------------------------------------------------- multimodal
 
 def q_multimodal_pipeline(sf_dir: str):
@@ -2287,6 +2310,7 @@ def build_queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "extract_views": q_extract_views,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "doc_token_stats": q_doc_token_stats,
     }
 
 
