@@ -345,6 +345,21 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_em = sub.add_parser(
+        "embed",
+        help="deterministic hashing-trick 3-gram text embeddings: "
+             "writes (vec_id, embedding list<float>) matching the "
+             "embeddings-table contract, so knn/IVF/LSH-near-dup run "
+             "directly on the output (no model, no RNG — a pure "
+             "function of the text bytes)")
+    sp_em.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_em.add_argument("--out", required=True)
+    sp_em.add_argument("--dim", type=int, default=64)
+    sp_em.add_argument("--id-col", default="doc_id")
+    sp_em.add_argument("--text-col", default="text")
+    sp_em.add_argument("--num-cpus", type=int, default=None)
+
     sp_sw = sub.add_parser(
         "soft-dedup",
         help="SoftDeDup sampling weights instead of removal: every "
@@ -600,13 +615,13 @@ def main(argv=None) -> int:
             print("%-22s %s" % (f.name, f.default))
         return 0
 
-    if args.cmd in ("sample-mixture", "pack", "token-stats"):
+    if args.cmd in ("sample-mixture", "pack", "token-stats", "embed"):
         import pyarrow.dataset as pads
         schema = pads.dataset(args.table).schema
         if args.cmd == "sample-mixture":
             other = args.source_col
-        elif args.cmd == "token-stats" or (args.cmd == "pack"
-                                           and args.bpe):
+        elif args.cmd in ("token-stats", "embed") or (args.cmd == "pack"
+                                                      and args.bpe):
             other = args.text_col
         else:
             other = args.tokens_col
@@ -641,6 +656,12 @@ def main(argv=None) -> int:
                 from pdfextract_ray.stages.assemble import mixture_sample
                 out_ds = mixture_sample(ds, targets, id_col=args.id_col,
                                         source_col=args.source_col)
+            elif args.cmd == "embed":
+                from pdfextract_ray.stages.embed import embed_docs
+                ds = ray.data.read_parquet(
+                    args.table, columns=[args.id_col, args.text_col])
+                out_ds = embed_docs(ds, dim=args.dim, id_col=args.id_col,
+                                    text_col=args.text_col)
             elif args.cmd == "token-stats":
                 from pdfextract_ray.stages.bpe import token_counts_bpe
                 from pdfextract_ray.stages.textstats import ascii_words

@@ -1847,28 +1847,42 @@ FROM r WHERE rank <= 5
 """
 
 
-def q_knn_ivf(sf_dir: str):
+def q_knn_ivf(sf_dir: str, nlist: int | None = None,
+              nprobe: int | None = None):
     """IVF approximate top-k: train a seeded coarse quantizer on a
     sample, assign cells, probe nprobe cells per query. Approximate by
-    design (recall < 1 vs knn_cosine) but deterministic."""
+    design (recall < 1 vs knn_cosine) but deterministic.
+
+    ``nlist`` defaults to ``derive_nlist(N)`` (~sqrt of the corpus
+    size, from parquet METADATA only — no data read) and ``nprobe`` to
+    the measured-recall scan fraction of it, so the same query stays
+    sublinear at 10^12 vectors instead of freezing 16 cells."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray
     from pdfextract_ray.stages.ivf import (IvfTopKPartial, assign_cells_batch,
+                                           derive_nlist, derive_nprobe,
                                            train_centroids)
     from pdfextract_ray.stages.similarity import topk_merge_group
 
-    # deterministic training sample = vec_id < 256 (ids are dense from 0;
-    # at scale substitute any pushdown-expressible deterministic sample,
-    # e.g. hash(vec_id) % p == 0). Pushdown-filtered reads only — the
-    # embeddings table never reaches the driver whole.
+    if nlist is None:
+        n_vecs = pq.ParquetFile(_pq(sf_dir, "embeddings")) \
+            .metadata.num_rows
+        nlist = derive_nlist(n_vecs)
+    if nprobe is None:
+        nprobe = derive_nprobe(nlist)
+    # deterministic training sample = vec_id < max(256, 4*nlist) (ids
+    # are dense from 0; at scale substitute any pushdown-expressible
+    # deterministic sample, e.g. hash(vec_id) % p == 0).
+    # Pushdown-filtered reads only — the embeddings table never
+    # reaches the driver whole.
     s_tbl = pq.read_table(_pq(sf_dir, "embeddings"),
                           columns=["vec_id", "embedding"],
-                          filters=[("vec_id", "<", 256)])
+                          filters=[("vec_id", "<", max(256, 4 * nlist))])
     s_order = np.argsort(np.asarray(s_tbl["vec_id"].to_pylist()))
     s_col = s_tbl["embedding"].combine_chunks()
     sample = np.stack([np.asarray(s_col[int(i)].as_py()) for i in s_order])
-    centroids_ref = ray.put(train_centroids(sample))
+    centroids_ref = ray.put(train_centroids(sample, nlist=nlist))
 
     q_tbl = pq.read_table(_pq(sf_dir, "embeddings"),
                           columns=["vec_id", "embedding"],
@@ -1884,11 +1898,12 @@ def q_knn_ivf(sf_dir: str):
                               fn_kwargs=dict(centroids_ref=centroids_ref))
     partials = assigned.map_batches(
         IvfTopKPartial, batch_format="pyarrow",
-        # nprobe=6 of 16 cells: uniform-random embeddings are the
-        # adversarial case for IVF (no cluster structure), measured
-        # recall@5 0.58 at nprobe=4 -> ~0.7+ at 6 for 3/8 of the scan
+        # scan fraction 3/8 of cells: uniform-random embeddings are
+        # the adversarial case for IVF (no cluster structure),
+        # measured recall@5 0.58 at 4/16 -> ~0.7+ at 6/16
         fn_constructor_kwargs=dict(queries_ref=queries_ref,
-                                   centroids_ref=centroids_ref, k=5, nprobe=6),
+                                   centroids_ref=centroids_ref, k=5,
+                                   nprobe=nprobe),
         concurrency=(1, 4))
     # coalesce tiny partials before the merge groupby (see q_knn_cosine)
     return partials.repartition(2).groupby("query_id") \
@@ -1903,6 +1918,79 @@ def q_knn_ivf_recall(sf_dir: str):
     over 50 rows — the expensive work stays distributed."""
     exact = q_knn_cosine(sf_dir).to_pandas()
     approx = q_knn_ivf(sf_dir).to_pandas()
+    ex = exact.groupby("query_id")["vec_id"].apply(set)
+    ap = approx.groupby("query_id")["vec_id"].apply(set)
+    qids = sorted(ex.index)
+    recalls = [len(ex[q] & ap.get(q, set())) / max(1, len(ex[q]))
+               for q in qids]
+    return pa.table({
+        "query_id": pa.array(qids + [-1], pa.int64()),
+        "recall_at_5": pa.array(recalls + [sum(recalls) / len(recalls)],
+                                pa.float64()),
+    })
+
+
+def q_knn_text_ivf_recall(sf_dir: str):
+    """END-TO-END text→embedding→ANN (round-4 verdict item): embed the
+    DOCUMENTS table with the deterministic hashing-trick 3-gram
+    embedder (``stages/embed.py``), run brute-force exact cosine top-k
+    AND derived-nlist IVF top-k over the derived vectors, and report
+    per-query recall@5 plus the macro average (query_id = -1) — the
+    whole vector stack running with no embeddings table at all.
+
+    Distributed shape: the corpus is embedded ONCE into a (vec_id,
+    embedding) Dataset consumed by both arms; queries/centroid-sample
+    are pushdown-filtered document reads embedded driver-side (bounded:
+    10 + 4*nlist rows). A pinned recall floor lives in
+    tests/test_embed.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    from pdfextract_ray.stages.embed import embed_docs, embed_text
+    from pdfextract_ray.stages.ivf import (IvfTopKPartial, assign_cells_batch,
+                                           derive_nlist, derive_nprobe,
+                                           train_centroids)
+    from pdfextract_ray.stages.similarity import (TopKPartial,
+                                                  topk_merge_group)
+
+    n_docs = pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+    nlist = derive_nlist(n_docs)
+    nprobe = derive_nprobe(nlist)
+
+    # bounded driver-side embeds: the 10 query docs + the centroid
+    # training sample (pushdown-filtered reads, never the full corpus)
+    s_tbl = pq.read_table(_pq(sf_dir, "documents"),
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "<", max(256, 4 * nlist))]) \
+        .sort_by("doc_id")
+    sample = np.stack([embed_text(s) for s in s_tbl["text"].to_pylist()])
+    centroids_ref = ray.put(train_centroids(sample, nlist=nlist))
+    q_ids = [int(v) for v in s_tbl["doc_id"].to_pylist()[:10]]
+    qmat = sample[:10]
+    queries_ref = ray.put((q_ids, qmat))
+
+    # embed the corpus ONCE; both arms consume the same Dataset
+    vecs = embed_docs(_read_balanced(sf_dir, "documents",
+                                     ["doc_id", "text"])).materialize()
+
+    exact = vecs.map_batches(
+        TopKPartial, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=5),
+        concurrency=(1, 4)) \
+        .repartition(2).groupby("query_id") \
+        .map_groups(topk_merge_group, batch_format="pandas").to_pandas()
+
+    assigned = vecs.map_batches(assign_cells_batch, batch_format="pyarrow",
+                                fn_kwargs=dict(centroids_ref=centroids_ref))
+    approx = assigned.map_batches(
+        IvfTopKPartial, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=queries_ref,
+                                   centroids_ref=centroids_ref, k=5,
+                                   nprobe=nprobe),
+        concurrency=(1, 4)) \
+        .repartition(2).groupby("query_id") \
+        .map_groups(topk_merge_group, batch_format="pandas").to_pandas()
+
     ex = exact.groupby("query_id")["vec_id"].apply(set)
     ap = approx.groupby("query_id")["vec_id"].apply(set)
     qids = sorted(ex.index)
@@ -2311,6 +2399,7 @@ def build_queries() -> dict:
         "extract_views": q_extract_views,
         "multimodal_pipeline": q_multimodal_pipeline,
         "doc_token_stats": q_doc_token_stats,
+        "knn_text_ivf_recall": q_knn_text_ivf_recall,
     }
 
 
