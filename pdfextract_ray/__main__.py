@@ -345,6 +345,45 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_tq = sub.add_parser(
+        "train-quality",
+        help="train the from-scratch logistic-regression quality "
+             "classifier on a BOUNDED labeled sample (deterministic "
+             "seeded SGD; features standardized by train-set mean/std) "
+             "and write the model JSON. Default labels distill the "
+             "Gopher rule cascade (teacher->student); pass --labels "
+             "for a (doc_id, label) parquet of human/teacher marks")
+    sp_tq.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_tq.add_argument("--out", required=True, help="model JSON path")
+    sp_tq.add_argument("--sample", type=int, default=4096,
+                       help="train on rows with id < SAMPLE (pushdown-"
+                            "filtered read; dense ids — the bounded "
+                            "driver-side train set)")
+    sp_tq.add_argument("--labels", default=None,
+                       help="optional (doc_id, label) parquet; default "
+                            "distills gopher keep verdicts")
+    sp_tq.add_argument("--label-col", default="label")
+    sp_tq.add_argument("--epochs", type=int, default=40)
+    sp_tq.add_argument("--seed", type=int, default=20260820)
+    sp_tq.add_argument("--id-col", default="doc_id")
+    sp_tq.add_argument("--text-col", default="text")
+    sp_tq.add_argument("--num-cpus", type=int, default=None)
+
+    sp_sq = sub.add_parser(
+        "score-quality",
+        help="score every document with a trained quality model "
+             "(actor pool, model loaded once per actor); writes "
+             "(doc_id, quality_score, pred_keep)")
+    sp_sq.add_argument("table")
+    sp_sq.add_argument("--model", required=True, help="model JSON from "
+                                                      "train-quality")
+    sp_sq.add_argument("--out", required=True)
+    sp_sq.add_argument("--threshold", type=float, default=0.5)
+    sp_sq.add_argument("--id-col", default="doc_id")
+    sp_sq.add_argument("--text-col", default="text")
+    sp_sq.add_argument("--num-cpus", type=int, default=None)
+
     sp_em = sub.add_parser(
         "embed",
         help="deterministic hashing-trick 3-gram text embeddings: "
@@ -614,6 +653,87 @@ def main(argv=None) -> int:
         for f in dataclasses.fields(DEFAULT_SETTINGS):
             print("%-22s %s" % (f.name, f.default))
         return 0
+
+    if args.cmd == "train-quality":
+        import numpy as np
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as _pq
+        schema = pads.dataset(args.table).schema
+        for col in (args.id_col, args.text_col):
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        from pdfextract_ray.stages.classifier import (features_row,
+                                                      gopher_labels,
+                                                      save_model,
+                                                      train_logreg)
+        tbl = _pq.read_table(
+            args.table, columns=[args.id_col, args.text_col],
+            filters=[(args.id_col, "<", args.sample)]).sort_by(args.id_col)
+        texts = tbl[args.text_col].to_pylist()
+        if not texts:
+            p.error("empty training sample (ids < %d)" % args.sample)
+        if args.labels:
+            lab_t = _pq.read_table(
+                args.labels, columns=[args.id_col, args.label_col],
+                filters=[(args.id_col, "<", args.sample)])
+            lut = dict(zip(lab_t[args.id_col].to_pylist(),
+                           lab_t[args.label_col].to_pylist()))
+            keep_rows = [i for i, d in
+                         enumerate(tbl[args.id_col].to_pylist())
+                         if d in lut]
+            if not keep_rows:
+                p.error("--labels has no ids overlapping the sample")
+            y = np.asarray([float(lut[tbl[args.id_col][i].as_py()])
+                            for i in keep_rows])
+            texts = [texts[i] for i in keep_rows]
+        else:
+            y = gopher_labels(texts)
+        X = np.asarray([features_row(s) for s in texts])
+        model = train_logreg(X, y, epochs=args.epochs, seed=args.seed)
+        Z = (X - np.asarray(model["mean"])) / np.asarray(model["std"])
+        pred = 1 / (1 + np.exp(-(Z @ np.asarray(model["weights"])
+                                 + model["bias"]))) >= 0.5
+        acc = float((pred == (y >= 0.5)).mean())
+        save_model(model, args.out)
+        print(json.dumps({"out": args.out, "ok": True, "n_train": len(y),
+                          "pos_frac": round(float(y.mean()), 4),
+                          "train_acc": round(acc, 4)}))
+        return 0
+
+    if args.cmd == "score-quality":
+        import pyarrow.dataset as pads
+        schema = pads.dataset(args.table).schema
+        for col in (args.id_col, args.text_col):
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        from pdfextract_ray.stages.classifier import (load_model,
+                                                      score_quality)
+        try:
+            model = load_model(args.model)
+        except (OSError, ValueError, KeyError) as e:
+            p.error("bad --model %s: %s" % (args.model, e))
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            ds = ray.data.read_parquet(
+                args.table, columns=[args.id_col, args.text_col])
+            score_quality(ds, model, id_col=args.id_col,
+                          text_col=args.text_col,
+                          threshold=args.threshold) \
+                .write_parquet(args.out)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     if args.cmd in ("sample-mixture", "pack", "token-stats", "embed"):
         import pyarrow.dataset as pads

@@ -104,6 +104,20 @@ def test_full_curation_recipe(ray_session):
         .set_index("doc_id")
     assert bool(gv.loc[300, "keep"])
     assert not gv.drop(index=300)["keep"].any()
+    # 1d. trainable quality scorer: distill the gopher verdicts above
+    #     into the from-scratch logistic regression (driver-side
+    #     seeded SGD) and score the SAME corpus distributed — the
+    #     planted prose page must out-score every word-soup page
+    from pdfextract_ray.stages.classifier import (features_row,
+                                                  score_quality,
+                                                  train_logreg)
+    cdf = cleaned.to_pandas().sort_values("doc_id")
+    Xq = np.asarray([features_row(s) for s in cdf["text"]])
+    yq = gv.loc[cdf["doc_id"]]["keep"].to_numpy().astype(float)
+    model = train_logreg(Xq, yq)
+    scored = score_quality(cleaned, model).to_pandas() \
+        .set_index("doc_id")
+    assert scored.loc[300, "quality_score"] == scored["quality_score"].max()
     # 2. URL dedup: the utm variant of doc 0 drops (min-url keeps 0's)
     by_url = url_dedup_filter(cleaned)
     # 2b. per-domain quota: code.net has 10 pages; cap 5 keeps the
