@@ -163,6 +163,13 @@ def main(argv=None) -> int:
                            "registrable domain (lexicographically "
                            "smallest; applied before extraction, after "
                            "--url-dedup when both are given)")
+    sp_c.add_argument("--checkpoint-dir", default=None, metavar="DIR",
+                      help="stage-level resume: persist each stage's "
+                           "output (prep = extract/url-dedup/domain-"
+                           "cap; curate = dedup+representatives) with "
+                           "an atomic manifest; a rerun with the same "
+                           "DIR skips completed stages (a DIR recorded "
+                           "for different arguments is refused)")
 
     sub.add_parser("settings", help="list tunables")
 
@@ -1318,41 +1325,52 @@ def main(argv=None) -> int:
         elif args.cmd == "curate":
             from pdfextract_ray.pipelines.queries import (curate_exact,
                                                           curate_neardup)
+            from pdfextract_ray.state.stagecheck import StagedRun
             cols = ["url", "title", "text", "lang", "n_refs", "n_tokens"]
-            if args.extracted:
-                import glob
-                import ray.data
-                paths = args.corpus
-                if os.path.isdir(paths):
-                    # tolerate run metadata (_RUN.json, manifests) next to
-                    # the shard parquet of an extract-job output dir
-                    found = sorted(glob.glob(
-                        os.path.join(paths, "**", "*.parquet"),
-                        recursive=True))
-                    if found:
-                        paths = found
-                cds = ray.data.read_parquet(paths, columns=cols)
+            run = StagedRun(args.checkpoint_dir, {
+                "cmd": "curate", "corpus": args.corpus,
+                "extracted": bool(args.extracted),
+                "exact_only": bool(args.exact_only),
+                "url_dedup": bool(args.url_dedup),
+                "domain_cap": args.domain_cap,
+            })
+
+            def build_prep():
+                if args.extracted:
+                    import glob
+                    import ray.data
+                    paths = args.corpus
+                    if os.path.isdir(paths):
+                        # tolerate run metadata (_RUN.json, manifests)
+                        # next to the shard parquet of an extract-job
+                        # output dir
+                        found = sorted(glob.glob(
+                            os.path.join(paths, "**", "*.parquet"),
+                            recursive=True))
+                        if found:
+                            paths = found
+                    cds = ray.data.read_parquet(paths, columns=cols)
+                    src = cds
+                else:
+                    from pdfextract_ray.pipelines.extract_pipeline import \
+                        extract_dataset
+                    src = ds
                 if args.url_dedup:
                     from pdfextract_ray.stages.urls import url_dedup_filter
-                    cds = url_dedup_filter(cds)
+                    src = url_dedup_filter(src)
                 if args.domain_cap is not None:
                     from pdfextract_ray.stages.domains import \
                         domain_cap_filter_by_url
-                    cds = domain_cap_filter_by_url(cds, args.domain_cap)
-            else:
-                from pdfextract_ray.pipelines.extract_pipeline import \
-                    extract_dataset
-                if args.url_dedup:
-                    from pdfextract_ray.stages.urls import url_dedup_filter
-                    ds = url_dedup_filter(ds)
-                if args.domain_cap is not None:
-                    from pdfextract_ray.stages.domains import \
-                        domain_cap_filter_by_url
-                    ds = domain_cap_filter_by_url(ds, args.domain_cap)
-                cds = extract_dataset(ds, settings=settings,
-                                      with_spans=False).select_columns(cols)
+                    src = domain_cap_filter_by_url(src, args.domain_cap)
+                if not args.extracted:
+                    src = extract_dataset(src, settings=settings,
+                                          with_spans=False) \
+                        .select_columns(cols)
+                return src
+
+            cds = run.stage("prep", build_prep)
             curate = curate_exact if args.exact_only else curate_neardup
-            curate(cds).write_parquet(args.out)
+            run.stage("curate", lambda: curate(cds)).write_parquet(args.out)
         elif args.cmd == "xml":
             from pdfextract_ray.views import ALL_SPATIAL_TYPES, XmlSpatials
             types = tuple(t.strip() for t in args.spatials.split(",") if t.strip())

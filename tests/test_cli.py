@@ -105,6 +105,50 @@ def test_cli_curate_extracted_equals_inline(cli_corpus, tmp_path):
     assert ta.sort_by("url").to_pydict() == tb.sort_by("url").to_pydict()
 
 
+def test_cli_curate_checkpoint_resume_equals_fresh(cli_corpus, tmp_path):
+    """--checkpoint-dir: (1) a checkpointed run equals a fresh
+    uncheckpointed one; (2) a rerun with the same DIR SKIPS completed
+    stages (stage parquet untouched byte-for-byte, by mtime) and still
+    writes identical final output — resume-equals-fresh for the
+    composed curation recipe; (3) a DIR recorded for different
+    arguments is refused."""
+    fresh = str(tmp_path / "fresh")
+    assert main(["curate", cli_corpus, "--exact-only",
+                 "--out", fresh]) == 0
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "o1")
+    assert main(["curate", cli_corpus, "--exact-only",
+                 "--checkpoint-dir", ckpt, "--out", out1]) == 0
+    tf = pq.read_table(glob.glob(os.path.join(fresh, "*.parquet")))
+    t1 = pq.read_table(glob.glob(os.path.join(out1, "*.parquet")))
+    assert tf.sort_by("url").to_pydict() == t1.sort_by("url").to_pydict()
+    # both stages checkpointed + manifested
+    stage_files = sorted(glob.glob(os.path.join(ckpt, "stage-*", "*.parquet")))
+    assert stage_files
+    assert os.path.exists(os.path.join(ckpt, "_manifests",
+                                       "stage-prep.json"))
+    assert os.path.exists(os.path.join(ckpt, "_manifests",
+                                       "stage-curate.json"))
+    mtimes = {f: os.path.getmtime(f) for f in stage_files}
+
+    # simulate a crash after the stages completed but before the final
+    # write: rerun with the same checkpoint dir into a new --out
+    out2 = str(tmp_path / "o2")
+    assert main(["curate", cli_corpus, "--exact-only",
+                 "--checkpoint-dir", ckpt, "--out", out2]) == 0
+    t2 = pq.read_table(glob.glob(os.path.join(out2, "*.parquet")))
+    assert tf.sort_by("url").to_pydict() == t2.sort_by("url").to_pydict()
+    # completed stages were replayed from checkpoint, not recomputed
+    assert {f: os.path.getmtime(f)
+            for f in sorted(glob.glob(
+                os.path.join(ckpt, "stage-*", "*.parquet")))} == mtimes
+
+    # a checkpoint dir recorded for DIFFERENT args is refused
+    with pytest.raises(SystemExit):
+        main(["curate", cli_corpus, "--checkpoint-dir", ckpt,
+              "--out", str(tmp_path / "o3")])
+
+
 def test_cli_query_list(capsys):
     assert main(["query", "--list"]) == 0
     names = capsys.readouterr().out.split()
