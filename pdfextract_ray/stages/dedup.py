@@ -458,8 +458,8 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
-def simhash_shard_group(df: pd.DataFrame, max_hamming: int = 3,
-                        max_bucket: int = 50) -> pd.DataFrame:
+def simhash_shard_group(df: pd.DataFrame, max_hamming: int = 3
+                        ) -> pd.DataFrame:
     """One shard-group of simhash band rows → verified low-Hamming pairs."""
     out = []
     sizes = df.groupby(["band_id", "band_key"], sort=False).size()
@@ -468,7 +468,7 @@ def simhash_shard_group(df: pd.DataFrame, max_hamming: int = 3,
         return _EMPTY_SIM.copy()
     grouped = df.groupby(["band_id", "band_key"], sort=False)
     for key in multi.index:
-        out.append(simhash_pairs_group(grouped.get_group(key), max_hamming, max_bucket))
+        out.append(simhash_pairs_group(grouped.get_group(key), max_hamming))
     return pd.concat(out, ignore_index=True)
 
 
@@ -476,23 +476,59 @@ _EMPTY_SIM = pd.DataFrame({"a": pd.Series(dtype="int64"),
                            "b": pd.Series(dtype="int64"),
                            "hamming": pd.Series(dtype="int64")})
 
+# byte-popcount lookup: vectorizes 64-bit Hamming as 8 table lookups
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
-def simhash_pairs_group(df: pd.DataFrame, max_hamming: int = 3,
-                        max_bucket: int = 50) -> pd.DataFrame:
+
+def simhash_pairs_group(df: pd.DataFrame, max_hamming: int = 3
+                        ) -> pd.DataFrame:
+    """Verified low-Hamming pairs within one band bucket — EXACT: no
+    head() cap (a cap of 50 silently LOST pairs the moment a bucket
+    grew past it; caught by the sf0.1 oracle sweep, round 5). Memory
+    stays bounded by chunking the pair triangle to ``_PAIR_CHUNK``
+    live index pairs; oversized boilerplate buckets are logged (the
+    verified pair OUTPUT of a near-identical cluster is inherently
+    quadratic — same contract as the All-Pairs join above)."""
     if len(df) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "hamming": pd.Series(dtype="int64")})
-    df = df.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+        return _EMPTY_SIM.copy()
+    df = df.drop_duplicates("doc_id").sort_values("doc_id")
     ids = df["doc_id"].to_numpy()
     hs = df["simhash"].to_numpy().astype(np.uint64)
     n = len(ids)
-    iu, ju = np.triu_indices(n, k=1)
-    x = hs[iu] ^ hs[ju]
-    ham = np.array([bin(int(v)).count("1") for v in x])
-    keep = ham <= max_hamming
-    return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]],
-                         "hamming": ham[keep].astype(np.int64)})
+    if n > HOT_TOKEN_LOG_SIZE:
+        import logging
+        logging.getLogger(__name__).warning(
+            "hot simhash band bucket: %d docs (exact chunked verify)", n)
+    a_out, b_out, h_out = [], [], []
+    counts = np.arange(n - 1, -1, -1)          # row i pairs with i+1..n-1
+    csum = np.concatenate(([0], np.cumsum(counts)))
+    start = 0
+    while start < n:
+        stop = int(np.searchsorted(csum, csum[start] + _PAIR_CHUNK,
+                                   side="left"))
+        stop = min(max(stop, start + 1), n)
+        c = counts[start:stop]
+        tot = int(c.sum())
+        if tot == 0:
+            break
+        rows = np.arange(start, stop)
+        iu = np.repeat(rows, c)
+        offs = np.concatenate(([0], np.cumsum(c)))[:-1]
+        ju = (np.arange(tot) - np.repeat(offs, c)
+              + np.repeat(rows + 1, c))
+        x = np.ascontiguousarray(hs[iu] ^ hs[ju])
+        ham = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+        keep = ham <= max_hamming
+        if keep.any():
+            a_out.append(ids[iu[keep]])
+            b_out.append(ids[ju[keep]])
+            h_out.append(ham[keep].astype(np.int64))
+        start = stop
+    if not a_out:
+        return _EMPTY_SIM.copy()
+    return pd.DataFrame({"a": np.concatenate(a_out),
+                         "b": np.concatenate(b_out),
+                         "hamming": np.concatenate(h_out)})
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
