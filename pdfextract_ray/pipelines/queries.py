@@ -783,13 +783,15 @@ def q_paragraph_dedup(sf_dir: str):
         .map_batches(functools.partial(paragraph_explode_batch,
                                        shard_mask=mask),
                      batch_format="pyarrow")
-    # coalesce the shard-group output before the doc groupby: sparse
-    # shard groups emit schema-less empty blocks that trigger Ray
-    # 2.49's "RefBundle with a different schema" warnings (cluster-
-    # proportional n — the partials are three-int rows, never text)
+    # NOTE on the Ray 2.49 "RefBundle with a different schema" warnings
+    # this stage's sparse shard groups can log: they are cosmetic
+    # (empty internal blocks), and coalescing them away is NOT free —
+    # measured at sf0.1/32cpu: no repartition 3.2 s, repartition(16)
+    # 3.9 s, repartition(2) 12 s (collapsed downstream parallelism).
+    # The 22% tax buys nothing but clean logs, so the partials feed the
+    # doc groupby directly.
     partials = exploded.groupby("shard") \
-        .map_groups(paragraph_flags_shard, batch_format="pandas") \
-        .repartition(join_partitions())
+        .map_groups(paragraph_flags_shard, batch_format="pandas")
     summed = partials.groupby("doc_id").aggregate(
         Sum("n_paras", alias_name="n_paras"),
         Sum("n_dup_paras", alias_name="n_dup_paras"))
