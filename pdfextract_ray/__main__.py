@@ -1333,6 +1333,10 @@ def main(argv=None) -> int:
                 "exact_only": bool(args.exact_only),
                 "url_dedup": bool(args.url_dedup),
                 "domain_cap": args.domain_cap,
+                # extraction settings shape the prep stage's output —
+                # a resume under different --set overrides must refuse,
+                # not silently replay stale extractions
+                "settings": dataclasses.asdict(settings),
             })
 
             def build_prep():

@@ -113,6 +113,32 @@ class StagedRun:
             shutil.rmtree(sdir)
         ds = fn()
         ds.write_parquet(sdir)
+        if not os.path.isdir(sdir):
+            # Ray's parquet sink DELETES a directory it created when
+            # the write turns out empty (same trap _ensure_written
+            # covers): materialize the stage contract with one empty
+            # schema-ful file so the replay read works
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            sch = ds.schema(fetch_if_missing=True)
+            if sch is None:
+                # schema unknowable (consumed row-based empty):
+                # zero-column placeholder — replay still yields 0 rows
+                base = pa.schema([])
+            else:
+                base = getattr(sch, "base_schema", None)
+                if not isinstance(base, pa.Schema):
+                    # Ray Schema .types can be numpy dtypes (see
+                    # relational.anti_filter note) — convert each
+                    fields = []
+                    for nm, tp in zip(sch.names, sch.types):
+                        if not isinstance(tp, pa.DataType):
+                            tp = pa.from_numpy_dtype(tp)
+                        fields.append(pa.field(nm, tp))
+                    base = pa.schema(fields)
+            os.makedirs(sdir, exist_ok=True)
+            pq.write_table(base.empty_table(),
+                           os.path.join(sdir, "empty.parquet"))
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
         # count from the durable files, not the (consumed) dataset
         rows = ray.data.read_parquet(sdir).count()
