@@ -352,6 +352,24 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_ll = sub.add_parser(
+        "lang-lines",
+        help="CCNet-style per-LINE language segmentation: per doc, "
+             "line counts per language (pinned marker heuristic) + "
+             "majority language and its line fraction; with "
+             "--keep-majority, instead rewrite each doc's text to "
+             "only its majority-language lines (idempotent)")
+    sp_ll.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_ll.add_argument("--out", required=True)
+    sp_ll.add_argument("--keep-majority", action="store_true",
+                       help="write the cleaned corpus (all columns, "
+                            "minority-language lines removed) instead "
+                            "of the per-doc report")
+    sp_ll.add_argument("--id-col", default="doc_id")
+    sp_ll.add_argument("--text-col", default="text")
+    sp_ll.add_argument("--num-cpus", type=int, default=None)
+
     sp_tq = sub.add_parser(
         "train-quality",
         help="train the from-scratch logistic-regression quality "
@@ -736,6 +754,40 @@ def main(argv=None) -> int:
                           text_col=args.text_col,
                           threshold=args.threshold) \
                 .write_parquet(args.out)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
+
+    if args.cmd == "lang-lines":
+        import pyarrow.dataset as pads
+        schema = pads.dataset(args.table).schema
+        for col in (args.id_col, args.text_col):
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        from pdfextract_ray.stages.langlines import (keep_majority_lines,
+                                                     lang_segments)
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            if args.keep_majority:
+                ds = ray.data.read_parquet(args.table)
+                out_ds = keep_majority_lines(ds, id_col=args.id_col,
+                                             text_col=args.text_col)
+            else:
+                ds = ray.data.read_parquet(
+                    args.table, columns=[args.id_col, args.text_col])
+                out_ds = lang_segments(ds, id_col=args.id_col,
+                                       text_col=args.text_col)
+            out_ds.write_parquet(args.out)
             print(json.dumps({"out": args.out, "ok": True}))
             return 0
         finally:

@@ -959,6 +959,65 @@ FROM m
 """
 
 
+def q_lang_segments(sf_dir: str):
+    """CCNet-style per-LINE language segmentation (Wenzek et al.
+    2020), aggregated per document: line counts per language under the
+    pinned marker heuristic + the majority language and its line
+    fraction. Fully vectorized two-level flatten (doc → lines →
+    words), zero shuffle; the oracle mirrors the whole computation
+    (unnest → per-line verdict CASE → per-doc counts →
+    greatest/CASE majority, tie order en,de,fr,es,und both sides)."""
+    from pdfextract_ray.stages.langlines import lang_segments
+    return lang_segments(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# SQL mirror of stages/langlines.LangLines — same tokenizer class and
+# tie semantics as _LANG_ID_SQL, applied per line; null text = ''.
+_LANG_SEGMENTS_SQL = r"""
+WITH l AS (
+  SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\n')) AS line
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(line), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+  FROM l
+),
+h AS (
+  SELECT doc_id,
+    len(list_filter(words, x -> list_contains(['the','and','of','is','with','for'], x))) AS h_en,
+    len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS h_de,
+    len(list_filter(words, x -> list_contains(['le','la','les','et','est','une'], x))) AS h_fr,
+    len(list_filter(words, x -> list_contains(['el','la','los','y','es','una'], x))) AS h_es
+  FROM w
+),
+v AS (
+  SELECT doc_id,
+    CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+         WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+         ELSE 'es' END AS verdict
+  FROM h
+),
+c AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(count(*) FILTER (verdict = 'en') AS BIGINT) AS n_en,
+    CAST(count(*) FILTER (verdict = 'de') AS BIGINT) AS n_de,
+    CAST(count(*) FILTER (verdict = 'fr') AS BIGINT) AS n_fr,
+    CAST(count(*) FILTER (verdict = 'es') AS BIGINT) AS n_es,
+    CAST(count(*) FILTER (verdict = 'und') AS BIGINT) AS n_und
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_en, n_de, n_fr, n_es, n_und,
+  CASE WHEN n_en = m THEN 'en' WHEN n_de = m THEN 'de'
+       WHEN n_fr = m THEN 'fr' WHEN n_es = m THEN 'es'
+       ELSE 'und' END AS majority_lang,
+  round(m / CAST(n_lines AS DOUBLE), 6) AS majority_frac
+FROM (SELECT *, greatest(n_en, n_de, n_fr, n_es, n_und) AS m FROM c)
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher/C4-style repetition quality filter signals."""
     from pdfextract_ray.stages.textstats import repetition_batch
@@ -2387,6 +2446,7 @@ def build_queries() -> dict:
         "doc_lm_score": q_doc_lm_score,
         "decontaminate": q_decontaminate,
         "paragraph_dedup": q_paragraph_dedup,
+        "lang_segments": q_lang_segments,
         # ---- rows-only (11): non-SQL-expressible pipelines — all
         # inside the 50-entry driver snapshot (39 oracled + 11 = 50)
         "extract_flagship": q_extract_flagship,
@@ -2413,6 +2473,7 @@ def build_oracles() -> dict:
         "top_bigrams": _TOP_BIGRAMS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "lang_id": _LANG_ID_SQL,
+        "lang_segments": _LANG_SEGMENTS_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "knn_cosine": _KNN_SQL,
         "q1_pricing": _Q1_SQL,
