@@ -98,7 +98,8 @@ def run_bench() -> dict:
                      "knn_cosine", "events_hourly", "events_asof_join",
                      "top_bigrams", "dedup_ngram_jaccard", "doc_repetition",
                      "vocab_coverage", "doc_lm_score", "decontaminate",
-                     "paragraph_dedup"):
+                     "paragraph_dedup", "lang_segments", "doc_token_stats",
+                     "knn_text_ivf_recall"):
             # best of 2, same protocol as the headline: the first sample
             # after an actor-pool teardown pays Ray worker respawn plus
             # this VM's page-fault warmup (~400us/4KB first touch — see
