@@ -352,6 +352,34 @@ def main(argv=None) -> int:
     sp_ds.add_argument("--out", required=True)
     sp_ds.add_argument("--num-cpus", type=int, default=None)
 
+    sp_ss = sub.add_parser(
+        "semantic-sample",
+        help="SemDeDup-style cluster-balanced subsetting: embed every "
+             "doc (hashing-trick), coarse k-means cells (~sqrt N), "
+             "keep at most CAP docs per semantic cell (farthest-from-"
+             "centroid first — dense boilerplate blobs downsample, "
+             "sparse regions survive); writes (doc_id, cell, dist, "
+             "keep) verdicts, or the filtered corpus with --apply")
+    sp_ss.add_argument("table", help="parquet file/dir with an integer "
+                                     "id column and a text column")
+    sp_ss.add_argument("--cap-per-cell", type=int, required=True)
+    sp_ss.add_argument("--dedup-cos", type=float, default=None,
+                       metavar="T",
+                       help="SemDeDup within-cell prune: greedily drop "
+                            "docs within cosine T of an already-kept "
+                            "doc before the cap (e.g. 0.9; the "
+                            "near-identical-boilerplate collapse)")
+    sp_ss.add_argument("--cells", type=int, default=None,
+                       help="semantic cell count (default ~sqrt of the "
+                            "corpus row count)")
+    sp_ss.add_argument("--apply", action="store_true",
+                       help="write the filtered corpus (all columns) "
+                            "instead of the verdict table")
+    sp_ss.add_argument("--out", required=True)
+    sp_ss.add_argument("--id-col", default="doc_id")
+    sp_ss.add_argument("--text-col", default="text")
+    sp_ss.add_argument("--num-cpus", type=int, default=None)
+
     sp_ll = sub.add_parser(
         "lang-lines",
         help="CCNet-style per-LINE language segmentation: per doc, "
@@ -754,6 +782,55 @@ def main(argv=None) -> int:
                           text_col=args.text_col,
                           threshold=args.threshold) \
                 .write_parquet(args.out)
+            print(json.dumps({"out": args.out, "ok": True}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
+
+    if args.cmd == "semantic-sample":
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as _pq
+        schema = pads.dataset(args.table).schema
+        for col in (args.id_col, args.text_col):
+            if col not in schema.names:
+                p.error("column %r not in %s (has: %s)"
+                        % (col, args.table, ", ".join(schema.names)))
+        if args.cap_per_cell < 1:
+            p.error("--cap-per-cell must be >= 1")
+        from pdfextract_ray.stages.ivf import derive_nlist
+        from pdfextract_ray.stages.semsample import (
+            semantic_sample_filter, semantic_sample_verdicts)
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            import ray.data
+            n_cells = args.cells
+            if n_cells is None and os.path.isfile(args.table):
+                # metadata-only count: avoid the Dataset count pass
+                n_cells = derive_nlist(
+                    _pq.ParquetFile(args.table).metadata.num_rows)
+            if args.apply:
+                ds = ray.data.read_parquet(args.table)
+                out_ds = semantic_sample_filter(
+                    ds, args.cap_per_cell, n_cells=n_cells,
+                    id_col=args.id_col, text_col=args.text_col,
+                    dedup_cos=args.dedup_cos)
+            else:
+                ds = ray.data.read_parquet(
+                    args.table, columns=[args.id_col, args.text_col])
+                out_ds = semantic_sample_verdicts(
+                    ds, args.cap_per_cell, n_cells=n_cells,
+                    id_col=args.id_col, text_col=args.text_col,
+                    dedup_cos=args.dedup_cos)
+            out_ds.write_parquet(args.out)
+            if args.apply:
+                _ensure_written(args.out, schema)
             print(json.dumps({"out": args.out, "ok": True}))
             return 0
         finally:

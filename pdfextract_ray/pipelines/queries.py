@@ -2117,6 +2117,24 @@ def q_embedding_near_dup(sf_dir: str):
         .sort(["a", "b"])
 
 
+def q_semantic_sample(sf_dir: str):
+    """SemDeDup-style cluster-balanced subset verdicts over the
+    documents table (``stages/semsample.py``: hashing-trick embed →
+    seeded k-means cells (~sqrt N) → within-cell greedy cosine prune →
+    per-cell cap; Abbas et al. 2023). Rows-only: k-means is not
+    SQL-expressible; semantics are pinned by tests/test_semsample.py
+    (cap, prune collapse, determinism, verdict≡apply)."""
+    import pyarrow.parquet as pq
+    from pdfextract_ray.stages.ivf import derive_nlist
+    from pdfextract_ray.stages.semsample import semantic_sample_verdicts
+
+    n = pq.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+    return semantic_sample_verdicts(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        cap_per_cell=8, n_cells=derive_nlist(n), dedup_cos=0.95) \
+        .sort("doc_id")
+
+
 def q_doc_token_stats(sf_dir: str):
     """Per-document REAL token counts: n_ws_tokens (the pinned
     ASCII-whitespace word count) next to n_bpe_tokens under the frozen
@@ -2462,6 +2480,7 @@ def build_queries() -> dict:
         "multimodal_pipeline": q_multimodal_pipeline,
         "doc_token_stats": q_doc_token_stats,
         "knn_text_ivf_recall": q_knn_text_ivf_recall,
+        "semantic_sample": q_semantic_sample,
     }
 
 

@@ -93,6 +93,27 @@ def test_frozen_table_loads_and_pins():
     assert 1 <= enc.n_tokens_word(b"\xff\xfe\x00") <= 3
 
 
+def test_frozen_table_fast_equals_slow_on_corpus_words():
+    """The shipped frozen table, not just synthetic trained ones:
+    greedy min-rank == definitional replay over every distinct word of
+    the sf0.001 corpus plus gazetteer/stopword vocabulary samples."""
+    import pyarrow.parquet as pq
+    merges = load_merges()
+    enc = BpeEncoder(merges)
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"])
+    vocab = set()
+    for s in t["text"].to_pylist():
+        if s:
+            vocab.update(ascii_words(s))
+    vocab.update(["university", "Smith", "Johnson", "catastrophe",
+                  "überraschung", "x" * 40])
+    assert vocab
+    for w in sorted(vocab):
+        wb = w.encode("utf-8")
+        assert enc.encode(wb) == encode_slow(wb, merges), w
+
+
 def test_save_load_roundtrip(tmp_path):
     merges = train_bpe_merges(CORPUS, n_merges=32)
     p = tmp_path / "m.txt"
