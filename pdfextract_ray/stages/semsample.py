@@ -146,6 +146,12 @@ def semantic_sample_verdicts(docs, cap_per_cell: int,
         batch_format="pyarrow").take_all()
     texts = [r[text_col] for r in
              sorted(sample_rows, key=lambda r: r[id_col])]
+    if not texts:
+        raise ValueError(
+            "semantic-sample centroid training found no rows with "
+            "%s < %d — the dense-ids-from-0 convention does not hold "
+            "for this table; pass train_limit above the smallest id"
+            % (id_col, train_limit))
     sample = np.stack([embed_text(s) for s in texts])
     centroids_ref = ray.put(train_centroids(sample, nlist=n_cells))
 
