@@ -71,7 +71,14 @@ def embed_batch(t: pa.Table, dim: int = EMBED_DIM,
                 out_id: str = "vec_id") -> pa.Table:
     """(vec_id, embedding) per row — the map_batches kernel. Emits
     ``list<float>`` (float32 elements) to match the embeddings-table
-    schema contract."""
+    schema contract.
+
+    Deliberately a PER-DOC numpy loop: a whole-batch variant
+    (concatenate bytes, mask cross-doc windows, one signed bincount
+    scatter over doc*dim+bucket) was built and MEASURED 5x slower on
+    5 KB docs (0.375 s vs 0.074 s per 1024 docs) — the 8-byte uint64
+    position temporaries are memory-bandwidth-bound while the per-doc
+    ``np.add.at`` stays cache-hot. Don't re-batch this."""
     vecs = [embed_text(s, dim).astype(np.float32)
             for s in t[text_col].to_pylist()]
     return pa.table({
