@@ -25,7 +25,7 @@ def _corpus():
     texts = []
     for i in range(60):
         texts.append(BLOB + " mirror %d" % i)
-    vocab = ("zebra quantum banjo glacier orchid nebula walrus sonnet "
+    vocab = ("zebra quantum banjo glacier orchid nebula walrus aqueduct "
              "pylon ember").split()
     for i in range(20):
         texts.append(" ".join(rng.choice(vocab, 30)) + " unique %d" % i)
