@@ -175,3 +175,21 @@ def test_cli_token_stats_and_pack_bpe(tmp_path):
             assert row["pack_tokens"] <= budget
         else:
             assert row["n_tokens"] > budget
+
+def test_frozen_table_fast_equals_slow_unicode_fuzz():
+    """Arbitrary unicode words (multi-byte UTF-8, emoji, controls)
+    against the FROZEN table: greedy == replay, and symbols always
+    reassemble to the original bytes."""
+    rng = random.Random(77)
+    merges = load_merges()
+    enc = BpeEncoder(merges)
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        w = "".join(chr(rng.choice([rng.randint(33, 126),
+                                    rng.randint(0x80, 0x2FFF),
+                                    rng.randint(0x1F300, 0x1F64F)]))
+                    for _ in range(n))
+        wb = w.encode("utf-8")
+        syms = enc.encode(wb)
+        assert syms == encode_slow(wb, merges), w
+        assert b"".join(syms) == wb

@@ -93,3 +93,52 @@ def test_cli_lang_lines_both_modes(tmp_path):
     t2 = pq.read_table(glob.glob(os.path.join(cln, "*.parquet"))) \
         .sort_by("doc_id")
     assert t2.column("text").to_pylist() == ["\n".join([EN, EN]), FR]
+
+def test_matches_python_mirror_fuzz():
+    """Hypothesis-style fuzz (deterministic corpus here): LangLines ==
+    a pure-Python per-line mirror on exotic inputs — unicode
+    separators, empty lines, marker collisions across languages
+    ('la' is both fr and es: verdict order decides)."""
+    import random
+
+    from pdfextract_ray.stages.textstats import _LANG_MARKERS, ascii_words
+    rng = random.Random(20260820)
+    pool = (list(_LANG_MARKERS["en"]) + list(_LANG_MARKERS["de"])
+            + list(_LANG_MARKERS["fr"]) + list(_LANG_MARKERS["es"])
+            + ["xxx", "123", "", " ", "　", "la", "und"])
+    docs = []
+    for _ in range(60):
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            lines.append(" ".join(rng.choice(pool)
+                                  for _ in range(rng.randint(0, 8))))
+        docs.append("\n".join(lines))
+    docs += [None, "", "\n\n", " the and of is with for"]
+
+    def mirror(text):
+        order = list(_LANG_MARKERS) + ["und"]
+        counts = {k: 0 for k in order}
+        for line in (text or "").split("\n"):
+            words = ascii_words(line.lower())
+            hits = [sum(1 for w in words if w in _LANG_MARKERS[k])
+                    for k in _LANG_MARKERS]
+            m = max(hits) if hits else 0
+            if m == 0:
+                counts["und"] += 1
+            else:
+                counts[list(_LANG_MARKERS)[hits.index(m)]] += 1
+        n_lines = sum(counts.values())
+        maj = max(order, key=lambda k: (counts[k], -order.index(k)))
+        return (n_lines, counts, maj,
+                round(counts[maj] / n_lines, 6) if n_lines else 0.0)
+
+    t = _t(docs)
+    out = LangLines()(t).to_pandas().set_index("doc_id")
+    for i, s in enumerate(docs):
+        n_lines, counts, maj, frac = mirror(s)
+        row = out.loc[i]
+        assert row["n_lines"] == n_lines, (i, s)
+        for k, v in counts.items():
+            assert row["n_%s" % k] == v, (i, k, s)
+        assert row["majority_lang"] == maj, (i, s)
+        assert row["majority_frac"] == frac, (i, s)

@@ -96,3 +96,19 @@ def test_cli_semantic_sample(tmp_path):
     with pytest.raises(SystemExit):
         main(["semantic-sample", src, "--cap-per-cell", "0",
               "--out", str(tmp_path / "x")])
+
+@pytest.mark.usefixtures("ray_session")
+def test_verdicts_invariant_to_block_layout():
+    """Keep verdicts are a pure function of the corpus, not of Ray's
+    block boundaries: a heavily repartitioned input yields identical
+    verdicts (embedding is per-doc; the cell groupby sees whole
+    cells either way)."""
+    t = _corpus()
+    a = semantic_sample_verdicts(ray.data.from_arrow(t), cap_per_cell=5,
+                                 n_cells=16, dedup_cos=0.9).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = semantic_sample_verdicts(
+        ray.data.from_arrow(t).repartition(13), cap_per_cell=5,
+        n_cells=16, dedup_cos=0.9).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
