@@ -118,6 +118,22 @@ def test_full_curation_recipe(ray_session):
     scored = score_quality(cleaned, model).to_pandas() \
         .set_index("doc_id")
     assert scored.loc[300, "quality_score"] == scored["quality_score"].max()
+    # 1e. per-line language segmentation composes in the same pass
+    #     shape; every corpus doc here is single-line, so keep-majority
+    #     must be a text-preserving no-op (idempotence base case)
+    from pdfextract_ray.stages.langlines import keep_majority_lines
+    seg = keep_majority_lines(cleaned).materialize()
+    a = seg.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = cleaned.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a["text"]) == list(b["text"])
+    assert list(a.columns) == list(b.columns)
+    # 1f. SemDeDup verdicts over the corpus: every doc gets a verdict
+    #     row and no semantic cell exceeds its cap
+    from pdfextract_ray.stages.semsample import semantic_sample_verdicts
+    sv = semantic_sample_verdicts(cleaned, cap_per_cell=10, n_cells=16,
+                                  dedup_cos=0.95).to_pandas()
+    assert len(sv) == cleaned.count()
+    assert (sv[sv.keep].groupby("cell").size() <= 10).all()
     # 2. URL dedup: the utm variant of doc 0 drops (min-url keeps 0's)
     by_url = url_dedup_filter(cleaned)
     # 2b. per-domain quota: code.net has 10 pages; cap 5 keeps the
