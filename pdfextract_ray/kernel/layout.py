@@ -89,6 +89,20 @@ class _BlockCollector(HTMLParser):
         self._furniture: str | None = None
         self._cur: dict | None = None
 
+    def parse_html_declaration(self, i: int) -> int:
+        # CPython's _markupbase raises bare AssertionError ("expected
+        # name token") on malformed marked sections like '<![0' — a
+        # crash a 10^12-page crawl WILL hit (found by the hypothesis
+        # differential fuzz, round 5). Recover the way browsers treat
+        # a bogus declaration: skip to the next '>' (or end of input).
+        # The fast scanner bails to THIS parser for every '<!', so
+        # both routes share the recovery and parity holds.
+        try:
+            return super().parse_html_declaration(i)
+        except AssertionError:
+            j = self.rawdata.find(">", i)
+            return len(self.rawdata) if j < 0 else j + 1
+
     def _flush(self) -> None:
         cur = self._cur
         if cur is not None and cur["text"].split():

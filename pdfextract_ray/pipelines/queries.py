@@ -1249,6 +1249,115 @@ FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
 """ % _LM_TOP_V
 
 
+def q_lm_buckets(sf_dir: str, sample_limit: int = 2000):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head / middle / tail by per-token LM cost. The score
+    is ``lm_micronats / n_scored`` (ONE double division of the same
+    two ints in both engines — bit-identical, the repo's standard
+    float-safety trick); tertile thresholds come from a BOUNDED
+    deterministic sample (docs with id < ``sample_limit``, the CCNet
+    convention of training thresholds on a sample — corpus-sized
+    driver collects never happen), using the ``quantile_disc`` rule
+    (sorted index ceil(q*n)−1) that value_percentiles already mirrors.
+    Docs with zero in-vocab tokens bucket as 'unscored'; if the sample
+    has no scored docs every scored doc falls to 'tail' (the SQL
+    CASE's NULL-threshold behavior, mirrored exactly). Output is ints
+    + strings only — no float column reaches the oracle hash."""
+    import math
+
+    import pyarrow.compute as pc
+
+    scores = q_doc_lm_score(sf_dir).materialize()  # two consumers
+
+    # bounded driver-side sample → tertile thresholds
+    sample = scores.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], sample_limit)),
+        batch_format="pyarrow").take_all()
+    svals = sorted(
+        r["lm_micronats"] / float(r["n_words"] - r["n_oov"])
+        for r in sample if r["n_words"] - r["n_oov"] > 0)
+    if svals:
+        n = len(svals)
+        t1 = svals[max(0, math.ceil(n / 3.0) - 1)]
+        t2 = svals[max(0, math.ceil(2.0 * n / 3.0) - 1)]
+    else:
+        t1 = t2 = None
+
+    def bucket(t: pa.Table) -> pa.Table:
+        n_scored = pc.subtract(t["n_words"], t["n_oov"])
+        ns = n_scored.to_pylist()
+        mns = t["lm_micronats"].to_pylist()
+        out = []
+        for nsc, mn in zip(ns, mns):
+            if not nsc:
+                out.append("unscored")
+                continue
+            s = mn / float(nsc)
+            if t1 is not None and s <= t1:
+                out.append("head")
+            elif t2 is not None and s <= t2:
+                out.append("middle")
+            else:
+                out.append("tail")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_scored": pc.cast(n_scored, pa.int64()),
+            "lm_micronats": t["lm_micronats"],
+            "ppl_bucket": pa.array(out, pa.string()),
+        })
+
+    return scores.map_batches(bucket, batch_format="pyarrow")
+
+
+# Mirror of q_lm_buckets over the shared _DOC_LM_SCORE_SQL core: same
+# single-division double score, thresholds via quantile_disc on the
+# same id-bounded sample, the same <= tie rule, and the same
+# NULL-threshold fallthrough to 'tail'.
+_LM_BUCKETS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+cnt AS (SELECT word, count(*) AS n FROM u GROUP BY word),
+tot AS (SELECT sum(n) AS total FROM cnt),
+vocab AS (
+  SELECT word,
+         CAST(floor(-ln(n / CAST(total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS mn
+  FROM (SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT %d), tot
+),
+agg AS (
+  SELECT u.doc_id,
+         count(*) FILTER (WHERE v.mn IS NULL) AS n_oov,
+         CAST(coalesce(sum(v.mn), 0) AS BIGINT) AS lm_micronats
+  FROM u LEFT JOIN vocab v ON u.word = v.word
+  GROUP BY u.doc_id
+),
+s AS (
+  SELECT w.doc_id,
+         CAST(len(words) - coalesce(n_oov, 0) AS BIGINT) AS n_scored,
+         coalesce(lm_micronats, 0) AS lm_micronats,
+         CASE WHEN len(words) - coalesce(n_oov, 0) > 0
+              THEN coalesce(lm_micronats, 0)
+                   / CAST(len(words) - coalesce(n_oov, 0) AS DOUBLE)
+         END AS score
+  FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+),
+th AS (
+  SELECT quantile_disc(score, 1.0/3) AS t1,
+         quantile_disc(score, 2.0/3) AS t2
+  FROM s WHERE doc_id < 2000 AND score IS NOT NULL
+)
+SELECT doc_id, n_scored, lm_micronats,
+  CASE WHEN score IS NULL THEN 'unscored'
+       WHEN score <= t1 THEN 'head'
+       WHEN score <= t2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM s, th
+""" % _LM_TOP_V
+
+
 # deterministic per-language sampling rates (permille of the 97-slot
 # Knuth-hash ring): downsample the dominant language, keep the rest —
 # the standard corpus-rebalancing step of a multilingual training mix.
@@ -2465,6 +2574,7 @@ def build_queries() -> dict:
         "decontaminate": q_decontaminate,
         "paragraph_dedup": q_paragraph_dedup,
         "lang_segments": q_lang_segments,
+        "lm_buckets": q_lm_buckets,
         # ---- rows-only (11): non-SQL-expressible pipelines — all
         # inside the 50-entry driver snapshot (39 oracled + 11 = 50)
         "extract_flagship": q_extract_flagship,
@@ -2493,6 +2603,7 @@ def build_oracles() -> dict:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "lang_id": _LANG_ID_SQL,
         "lang_segments": _LANG_SEGMENTS_SQL,
+        "lm_buckets": _LM_BUCKETS_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "knn_cosine": _KNN_SQL,
         "q1_pricing": _Q1_SQL,

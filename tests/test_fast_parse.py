@@ -122,3 +122,26 @@ def test_hypothesis_fuzz_parity():
         _assert_equal(html)
 
     check()
+
+
+MALFORMED_DECLS = ["<![0", "<![CDATA[x", "<!0>after", "<![",
+                   "<![x]>tail", "<!>", "<p>a</p><![0<p>b</p>",
+                   "<![ ]]>", "<!-x->", "x<![y"]
+
+
+@pytest.mark.parametrize("html", MALFORMED_DECLS)
+def test_malformed_declarations_never_raise(html):
+    """CPython's _markupbase raises bare AssertionError on malformed
+    marked sections ('<![0' — found by the fuzz above); the collector
+    recovers like a browser's bogus-comment rule (skip to '>'), so NO
+    byte input crashes the kernel. Parity still holds: the fast path
+    bails every '<!' to the same recovering parser."""
+    _assert_equal(html)  # must not raise, and both routes agree
+
+
+def test_malformed_declaration_end_to_end():
+    from pdfextract_ray.kernel import run_document
+    r = run_document(b"<p>before</p><![0<p>after</p>")
+    assert "before" in r.text and "after" in r.text
+    r2 = run_document(b"<![0")
+    assert r2.text == ""

@@ -442,3 +442,29 @@ def test_lm_score_matches_duckdb_including_oov():
     assert m.loc[4, "n_words"] == 0 and m.loc[4, "lm_micronats"] == 0
     assert m.loc[5, "n_oov"] == m.loc[5, "n_words"]   # fully OOV
     assert m.loc[1, "lm_micronats"] > 0
+
+
+def test_lm_buckets_semantics(ray_session):
+    """CCNet perplexity buckets: every head-doc score <= every
+    tail-doc score (with middle between), unscored == zero in-vocab
+    tokens, and the full output is deterministic."""
+    from pdfextract_ray.pipelines.queries import q_lm_buckets
+    sf = "/root/testdata/sf0.001"
+    out = q_lm_buckets(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert set(out["ppl_bucket"]) <= {"head", "middle", "tail",
+                                      "unscored"}
+    scored = out[out.ppl_bucket != "unscored"].copy()
+    assert len(scored) > 0
+    scored["score"] = scored.lm_micronats / scored.n_scored
+    hs = scored[scored.ppl_bucket == "head"]["score"]
+    ms = scored[scored.ppl_bucket == "middle"]["score"]
+    ts = scored[scored.ppl_bucket == "tail"]["score"]
+    if len(hs) and len(ms):
+        assert hs.max() <= ms.min()
+    if len(ms) and len(ts):
+        assert ms.max() <= ts.min()
+    assert (out[out.ppl_bucket == "unscored"].n_scored == 0).all()
+    out2 = q_lm_buckets(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out.equals(out2)
