@@ -167,3 +167,67 @@ def test_curate_neardup_join_tier_equals_mapside(ray_session, monkeypatch):
         .reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
     assert aa.equals(bb) and aa.is_representative.sum() == len(a)
+
+
+def test_simhash_chunked_pairs_equal_brute(monkeypatch):
+    """The chunked exact triangle == the brute-force definition on
+    clustered hashes — INCLUDING with _PAIR_CHUNK forced tiny so the
+    multi-chunk loop actually executes (the suite's corpora never
+    exceed one chunk naturally)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    import pdfextract_ray.stages.dedup as dd
+
+    rng = random.Random(424242)
+    nprng = np.random.RandomState(31337)
+    for chunk in (None, 7):   # natural, then forced multi-chunk
+        if chunk is not None:
+            monkeypatch.setattr(dd, "_PAIR_CHUNK", chunk)
+        for trial in range(30):
+            n = rng.randint(2, 120)
+            bases = nprng.randint(0, 2**63, size=rng.randint(1, 4),
+                                  dtype=np.int64).astype(np.uint64)
+            hs = []
+            for _ in range(n):
+                b = int(bases[rng.randrange(len(bases))])
+                for _ in range(rng.randint(0, 6)):
+                    b ^= 1 << rng.randrange(64)
+                hs.append(b)
+            ids = list(range(0, 2 * n, 2))
+            df = pd.DataFrame({
+                "doc_id": ids,
+                "simhash": [h - (1 << 64) if h >= (1 << 63) else h
+                            for h in hs]})
+            got = set(zip(*[dd.simhash_pairs_group(df)[c]
+                            for c in ("a", "b")]))
+            want = {(ids[i], ids[j])
+                    for i in range(n) for j in range(i + 1, n)
+                    if bin(hs[i] ^ hs[j]).count("1") <= 3}
+            assert got == want, (chunk, trial)
+
+
+def test_prefix_pairs_chunked_equals_unchunked(monkeypatch):
+    """_window_pairs with a tiny _PAIR_CHUNK emits the same candidate
+    set as the natural single-chunk run."""
+    import random
+
+    import pandas as pd
+
+    import pdfextract_ray.stages.dedup as dd
+
+    rng = random.Random(5150)
+    rows = []
+    for doc in range(40):
+        n = rng.randint(1, 30)
+        for pos in range(max(1, n - (4 * n + 4) // 5 + 1)):
+            rows.append((rng.randrange(12), doc, n, pos))
+    df = pd.DataFrame(rows, columns=["h32", "doc_id", "n", "pos"])
+    base = dd.prefix_pairs_shard(df, 4, 5)
+    base_set = set(zip(base["a"], base["b"]))
+    monkeypatch.setattr(dd, "_PAIR_CHUNK", 3)
+    tiny = dd.prefix_pairs_shard(df, 4, 5)
+    assert set(zip(tiny["a"], tiny["b"])) == base_set
+    assert len(base_set) > 0
